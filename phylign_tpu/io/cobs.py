@@ -1,0 +1,305 @@
+"""COBS *classic* index binary format: read, write, and device repacking.
+
+The reference pipeline downloads one xz-compressed ``.cobs_classic`` index per
+batch (ref: /root/reference/Snakefile:196-201) and queries it with
+``cobs query`` (cobs 0.2.1; /root/reference/envs/cobs.yaml:5,
+/root/reference/Snakefile:419-427). A classic index is a Bloom-filter bit
+matrix: ``signature_size`` rows x one bit column per genome document. A
+query k-mer selects ``num_hashes`` rows (XXH64(canonical kmer ascii, seed=h)
+% signature_size, see phylign_tpu.kmer); a document "contains" the k-mer if
+its bit is set in all selected rows.
+
+Serialized layout implemented here (after cobs 0.2.1 ``ClassicIndexHeader``):
+
+    magic            b"COBS:CLASSIC_INDEX"          (18 bytes)
+    version          u32 LE                          (=1)
+    term_size        u32 LE                          (k, 31 for the 661k DB)
+    canonicalize     u8                              (1)
+    num_docs         u32 LE
+    doc_names        num_docs x (utf-8 + NUL)
+    num_hashes       u32 LE                          (1 for the 661k DB)
+    signature_size   u64 LE                          (# Bloom rows)
+    payload          signature_size rows x ceil(num_docs/8) bytes,
+                     row-major, doc d -> byte d//8 bit d%8 (LSB-first)
+
+NOTE ON COMPATIBILITY: the real Zenodo artifacts are not reachable in this
+build environment, so header field *order* is asserted centrally here and in
+one place only (``_read_header`` / ``_write_header``); if a real cobs 0.2.1
+file disagrees, only these two functions change. The bit-matrix payload
+convention (row-major, LSB-first) matches cobs' sequential row writes.
+
+Device repacking: rows are reinterpreted as little-endian uint32 words so that
+``word[d // 32] >> (d % 32) & 1`` is document d's bit — a pure view change
+(no bit shuffling) from the LSB-first byte layout.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import lzma
+import os
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import BinaryIO, Sequence
+
+import numpy as np
+
+MAGIC = b"COBS:CLASSIC_INDEX"
+VERSION = 1
+DEFAULT_TERM_SIZE = 31
+DEFAULT_FPR = 0.3  # classic-construct default false-positive rate
+
+
+@dataclass
+class ClassicIndex:
+    """In-memory COBS classic index."""
+
+    term_size: int
+    canonicalize: bool
+    doc_names: list[str]
+    num_hashes: int
+    signature_size: int
+    rows: np.ndarray  # uint8 [signature_size, row_bytes]
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_names)
+
+    @property
+    def row_bytes(self) -> int:
+        return (self.num_docs + 7) // 8
+
+
+def _write_header(fp: BinaryIO, idx: ClassicIndex) -> None:
+    fp.write(MAGIC)
+    fp.write(struct.pack("<I", VERSION))
+    fp.write(struct.pack("<I", idx.term_size))
+    fp.write(struct.pack("<B", 1 if idx.canonicalize else 0))
+    fp.write(struct.pack("<I", idx.num_docs))
+    for name in idx.doc_names:
+        fp.write(name.encode() + b"\0")
+    fp.write(struct.pack("<I", idx.num_hashes))
+    fp.write(struct.pack("<Q", idx.signature_size))
+
+
+def _read_header(fp: BinaryIO) -> ClassicIndex:
+    magic = fp.read(len(MAGIC))
+    if magic != MAGIC:
+        raise ValueError(f"not a COBS classic index (magic={magic!r})")
+    (version,) = struct.unpack("<I", fp.read(4))
+    if version != VERSION:
+        raise ValueError(f"unsupported classic index version {version}")
+    (term_size,) = struct.unpack("<I", fp.read(4))
+    (canonicalize,) = struct.unpack("<B", fp.read(1))
+    (num_docs,) = struct.unpack("<I", fp.read(4))
+    names: list[str] = []
+    for _ in range(num_docs):
+        buf = bytearray()
+        while True:
+            b = fp.read(1)
+            if not b:
+                raise ValueError("truncated doc-name table")
+            if b == b"\0":
+                break
+            buf += b
+        names.append(buf.decode())
+    (num_hashes,) = struct.unpack("<I", fp.read(4))
+    (signature_size,) = struct.unpack("<Q", fp.read(8))
+    return ClassicIndex(
+        term_size=term_size,
+        canonicalize=bool(canonicalize),
+        doc_names=names,
+        num_hashes=num_hashes,
+        signature_size=signature_size,
+        rows=np.empty((0, 0), dtype=np.uint8),
+    )
+
+
+def write_classic_index(path: str | os.PathLike, idx: ClassicIndex) -> None:
+    """Serialize; '.xz' suffix triggers xz compression (like the Zenodo files)."""
+    p = str(path)
+    raw = io.BytesIO()
+    _write_header(raw, idx)
+    assert idx.rows.shape == (idx.signature_size, idx.row_bytes)
+    raw.write(np.ascontiguousarray(idx.rows).tobytes())
+    data = raw.getvalue()
+    if p.endswith(".xz"):
+        with lzma.open(p, "wb", preset=1) as f:
+            f.write(data)
+    else:
+        with open(p, "wb") as f:
+            f.write(data)
+
+
+def read_classic_index(path: str | os.PathLike) -> ClassicIndex:
+    """Load an index; '.xz' decompressed transparently (ref streams via xzcat,
+    /root/reference/scripts/run_cobs_streaming.sh:24-29)."""
+    p = str(path)
+    if p.endswith(".xz"):
+        with lzma.open(p, "rb") as f:
+            data = f.read()
+        fp: BinaryIO = io.BytesIO(data)
+    else:
+        fp = open(p, "rb")
+    try:
+        idx = _read_header(fp)
+        payload = fp.read(idx.signature_size * idx.row_bytes)
+        if len(payload) != idx.signature_size * idx.row_bytes:
+            raise ValueError("truncated bit-matrix payload")
+        idx.rows = np.frombuffer(payload, dtype=np.uint8).reshape(
+            idx.signature_size, idx.row_bytes
+        )
+        return idx
+    finally:
+        fp.close()
+
+
+# --- construction (used for synthetic fixtures & index building) -------------
+
+
+def calc_signature_size(
+    num_elements: int, num_hashes: int = 1, fpr: float = DEFAULT_FPR
+) -> int:
+    """Bloom sizing identical in spirit to cobs classic_construct:
+    rows = ceil(-h * n / ln(1 - fpr^(1/h)))."""
+    import math
+
+    if num_elements <= 0:
+        return 64
+    den = math.log(1.0 - fpr ** (1.0 / num_hashes))
+    return max(64, int(math.ceil(-num_hashes * num_elements / den)))
+
+
+def build_classic_index(
+    docs: Sequence[tuple[str, list[bytes]]],
+    term_size: int = DEFAULT_TERM_SIZE,
+    num_hashes: int = 1,
+    signature_size: int | None = None,
+    fpr: float = DEFAULT_FPR,
+) -> ClassicIndex:
+    """Build an index from (doc_name, [sequences]) pairs.
+
+    Sizing follows the largest document's distinct canonical-k-mer count, like
+    cobs classic-construct sizes by the largest document in the batch.
+    """
+    from phylign_tpu.kmer import canonical_kmers_ascii, encode_seq, xxh64_batch
+
+    doc_kmer_rows: list[np.ndarray] = []
+    max_elems = 1
+    per_doc_kmers: list[np.ndarray] = []
+    for _, seqs in docs:
+        kmers = [
+            canonical_kmers_ascii(encode_seq(s), term_size)
+            for s in seqs
+            if len(s) >= term_size
+        ]
+        if kmers:
+            allk = np.unique(np.concatenate(kmers, axis=0), axis=0)
+        else:
+            allk = np.empty((0, term_size), dtype=np.uint8)
+        per_doc_kmers.append(allk)
+        max_elems = max(max_elems, allk.shape[0])
+
+    if signature_size is None:
+        signature_size = calc_signature_size(max_elems, num_hashes, fpr)
+
+    num_docs = len(docs)
+    row_bytes = (num_docs + 7) // 8
+    rows = np.zeros((signature_size, row_bytes), dtype=np.uint8)
+    for d, allk in enumerate(per_doc_kmers):
+        if allk.shape[0] == 0:
+            continue
+        byte_idx, bit = d // 8, np.uint8(1 << (d % 8))
+        for h in range(num_hashes):
+            r = (xxh64_batch(np.ascontiguousarray(allk), h) % np.uint64(signature_size)).astype(
+                np.int64
+            )
+            rows[r, byte_idx] |= bit
+    return ClassicIndex(
+        term_size=term_size,
+        canonicalize=True,
+        doc_names=[name for name, _ in docs],
+        num_hashes=num_hashes,
+        signature_size=signature_size,
+        rows=rows,
+    )
+
+
+# --- device repacking --------------------------------------------------------
+
+
+@dataclass
+class DeviceIndex:
+    """TPU-friendly packed index: uint32 word matrix + metadata.
+
+    words[s, w] bit (d % 32) of word (d // 32) == doc d's bit in Bloom row s.
+    The word matrix is what the Pallas match kernel gathers rows from; its
+    column (word) axis is the unit of genome-document sharding across chips.
+    """
+
+    term_size: int
+    num_hashes: int
+    signature_size: int
+    doc_names: list[str]
+    words: np.ndarray  # uint32 [signature_size, ceil(num_docs/32)]
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_names)
+
+    @property
+    def num_words(self) -> int:
+        return self.words.shape[1]
+
+
+def to_device_index(idx: ClassicIndex) -> DeviceIndex:
+    num_words = (idx.num_docs + 31) // 32
+    padded = np.zeros((idx.signature_size, num_words * 4), dtype=np.uint8)
+    padded[:, : idx.row_bytes] = idx.rows
+    words = padded.view(np.dtype("<u4")).reshape(idx.signature_size, num_words)
+    return DeviceIndex(
+        term_size=idx.term_size,
+        num_hashes=idx.num_hashes,
+        signature_size=idx.signature_size,
+        doc_names=idx.doc_names,
+        words=np.ascontiguousarray(words),
+    )
+
+
+def save_device_index(dirpath: str | os.PathLike, didx: DeviceIndex) -> None:
+    """Persist as raw .npy + JSON sidecar; .npy loads back via memmap so a
+    10 GB batch never needs a second host copy (the reference analogously
+    caches decompressed indexes, /root/reference/config.yaml:131-138)."""
+    d = Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    np.save(d / "words.npy", didx.words)
+    meta = {
+        "term_size": didx.term_size,
+        "num_hashes": didx.num_hashes,
+        "signature_size": didx.signature_size,
+        "doc_names": didx.doc_names,
+    }
+    (d / "meta.json").write_text(json.dumps(meta))
+
+
+def load_device_index(dirpath: str | os.PathLike, mmap: bool = True) -> DeviceIndex:
+    d = Path(dirpath)
+    meta = json.loads((d / "meta.json").read_text())
+    words = np.load(d / "words.npy", mmap_mode="r" if mmap else None)
+    return DeviceIndex(
+        term_size=meta["term_size"],
+        num_hashes=meta["num_hashes"],
+        signature_size=meta["signature_size"],
+        doc_names=meta["doc_names"],
+        words=words,
+    )
+
+
+def strip_rid(doc_name: str) -> str:
+    """Strip the random sort prefix embedded in 661k doc names: 'rid_ACC' ->
+    'ACC' (ref: /root/reference/scripts/postprocess_cobs.py:16-18 and
+    filter_queries.py cobs_iterator split)."""
+    _, sep, rest = doc_name.partition("_")
+    return rest if sep else doc_name

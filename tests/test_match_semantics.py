@@ -1,0 +1,99 @@
+import io
+
+import numpy as np
+
+from phylign_tpu.io import cobs
+from phylign_tpu.io.fastx import FastxRecord
+from phylign_tpu.kmer import encode_seq
+from phylign_tpu.match import filter as qfilter
+from phylign_tpu.match import oracle, postprocess
+
+
+class TestOracle:
+    def test_planted_kmers(self):
+        rng = np.random.default_rng(3)
+        # doc 0 = the query itself; doc 1 = unrelated; doc 2 = half the query
+        q = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 100))
+        other = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 100))
+        docs = [("a_D0", [q]), ("b_D1", [other]), ("c_D2", [q[:65]])]
+        idx = cobs.build_classic_index(docs, term_size=31, fpr=0.01)
+        didx = cobs.to_device_index(idx)
+        scores, n_kmers = oracle.score_query_codes(didx, encode_seq(q))
+        assert n_kmers == 70
+        assert scores[0] == 70  # all kmers present
+        assert scores[2] >= 35  # first 35 kmers present (positions 0..34)
+        assert scores[2] < 70 or scores[1] > 0  # bloom fp possible but unlikely both
+
+    def test_threshold_and_order(self):
+        rng = np.random.default_rng(4)
+        q = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 100))
+        docs = [("z_D0", [q]), ("a_D1", [q])]  # tie broken by full doc name
+        idx = cobs.build_classic_index(docs, term_size=31, fpr=0.01)
+        didx = cobs.to_device_index(idx)
+        hits = oracle.query_index(didx, encode_seq(q), threshold=0.7)
+        assert [h[0] for h in hits] == ["a_D1", "z_D0"]  # name-asc on ties
+
+
+class TestPostprocess:
+    def test_top_n_with_ties(self):
+        hits = [("a", 10), ("b", 9), ("c", 8), ("d", 8), ("e", 8), ("f", 7)]
+        assert postprocess.top_n_with_ties(hits, 3) == hits[:5]
+        assert postprocess.top_n_with_ties(hits, 6) == hits
+        assert postprocess.top_n_with_ties(hits, 1) == [("a", 10)]
+
+    def test_match_file_roundtrip(self):
+        ms = [
+            postprocess.QueryMatches("q1", 3, [("07_ACC1", 9), ("02_ACC2", 8), ("11_ACC3", 8)]),
+            postprocess.QueryMatches("q2", 0, []),
+        ]
+        buf = io.StringIO()
+        postprocess.write_match_file(buf, ms, keep=1)
+        text = buf.getvalue()
+        # keep=1 but rank-1 score 9 has no tie -> only ACC1
+        assert text == "*q1\t3\n_ACC1\t9\n*q2\t0\n"
+        parsed = list(postprocess.read_match_file(io.StringIO(text)))
+        assert parsed == [("q1", [("ACC1", 9)]), ("q2", [])]
+
+    def test_match_file_tie_at_cut(self):
+        ms = [postprocess.QueryMatches("q", 3, [("1_A", 9), ("2_B", 9), ("3_C", 8)])]
+        buf = io.StringIO()
+        postprocess.write_match_file(buf, ms, keep=1)
+        assert buf.getvalue() == "*q\t3\n_A\t9\n_B\t9\n"
+
+
+class TestFilter:
+    def test_tie_semantics(self):
+        triples = [
+            ("b2", "X", 5),
+            ("b1", "Y", 9),
+            ("b1", "Z", 5),
+            ("b3", "W", 5),
+            ("b1", "A", 7),
+        ]
+        kept = qfilter.filter_candidates(triples, keep=2)
+        # sorted: (9,b1,Y) (7,b1,A) (5,b1,Z) (5,b2,X) (5,b3,W); cut at 2, no tie at 7
+        assert kept == [("b1", "Y", 9), ("b1", "A", 7)]
+        kept3 = qfilter.filter_candidates(triples, keep=3)
+        # rank-3 score 5 -> all 5s included
+        assert kept3 == [
+            ("b1", "Y", 9),
+            ("b1", "A", 7),
+            ("b1", "Z", 5),
+            ("b2", "X", 5),
+            ("b3", "W", 5),
+        ]
+
+    def test_filter_queries_and_fasta(self):
+        recs = [FastxRecord("q1", "", "ACGT"), FastxRecord("q2", "", "TTTT")]
+        pb = {
+            "batchA": [("q1", [("SAM1", 5), ("SAM2", 3)])],
+            "batchB": [("q1", [("SAM3", 5)]), ("q2", [])],
+        }
+        out = qfilter.filter_queries(recs, pb, keep=1)
+        byname = {f.qname: f for f in out}
+        # rank-1 = 5; tie between (batchA,SAM1) and (batchB,SAM3) -> both kept
+        assert [c[1] for c in byname["q1"].candidates] == ["SAM1", "SAM3"]
+        assert byname["q2"].candidates == []
+        buf = io.StringIO()
+        qfilter.write_filtered_fasta(buf, out)
+        assert buf.getvalue() == ">q1 SAM1,SAM3\nACGT\n>q2 \nTTTT\n"
