@@ -1,0 +1,108 @@
+"""Matcher: the flagship match-stage model.
+
+Wraps one batch's packed Bloom bit-matrix as device state and exposes a
+jittable scoring step: (row_idx, n_kmers) -> (scores, keep mask). This is
+the TPU-native equivalent of one ``cobs query`` invocation against one batch
+index (ref: /root/reference/Snakefile:419-427), minus the text postprocessing
+which stays on host (phylign_tpu.match.postprocess).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phylign_tpu.io.cobs import DeviceIndex
+from phylign_tpu.kmer import cobs_row_indices, encode_seq
+from phylign_tpu.ops.match import (
+    match_scores,
+    pack_row_indices,
+    pad_device_words,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def match_step(
+    words: jax.Array,
+    row_idx: jax.Array,
+    n_kmers: jax.Array,
+    threshold: float,
+    use_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One scoring step: scores [Q, 32*Wp] int32 and keep mask [Q, 32*Wp].
+
+    keep[q, d] = score >= threshold * n_kmers[q]  (cobs -t semantics,
+    ref: /root/reference/config.yaml:20). Callers slice [:, :num_docs].
+    """
+    scores = match_scores(words, row_idx, use_pallas=use_pallas)
+    cut = threshold * n_kmers.astype(jnp.float32)
+    keep = scores.astype(jnp.float32) >= cut[:, None]
+    keep = jnp.logical_and(keep, n_kmers[:, None] > 0)
+    return scores, keep
+
+
+@dataclass
+class Matcher:
+    """Device-resident match model for one batch index."""
+
+    term_size: int
+    num_hashes: int
+    signature_size: int
+    doc_names: list[str]
+    words: jax.Array  # uint32 [S+1, Wp] on device
+    use_pallas: bool | None = None
+
+    @classmethod
+    def from_device_index(
+        cls, didx: DeviceIndex, use_pallas: bool | None = None
+    ) -> "Matcher":
+        padded = pad_device_words(np.asarray(didx.words))
+        return cls(
+            term_size=didx.term_size,
+            num_hashes=didx.num_hashes,
+            signature_size=didx.signature_size,
+            doc_names=didx.doc_names,
+            words=jnp.asarray(padded),
+            use_pallas=use_pallas,
+        )
+
+    @property
+    def pad_row(self) -> int:
+        return self.words.shape[0] - 1
+
+    def rows_for_queries(
+        self, seqs: list[bytes], k_max: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side k-mer extraction + hashing for a query batch."""
+        per_query = [
+            cobs_row_indices(
+                encode_seq(s), self.term_size, self.signature_size, self.num_hashes
+            )
+            for s in seqs
+        ]
+        return pack_row_indices(per_query, k_max, self.pad_row, self.num_hashes)
+
+    def score(
+        self, seqs: list[bytes], threshold: float, k_max: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Convenience host API: returns (scores[Q, D], keep[Q, D], n_kmers[Q])."""
+        if k_max is None:
+            k_max = max(1, max(len(s) for s in seqs) - self.term_size + 1)
+        row_idx, n_kmers = self.rows_for_queries(seqs, k_max)
+        scores, keep = match_step(
+            self.words,
+            jnp.asarray(row_idx),
+            jnp.asarray(n_kmers),
+            threshold,
+            use_pallas=self.use_pallas,
+        )
+        d = len(self.doc_names)
+        return (
+            np.asarray(scores)[:, :d],
+            np.asarray(keep)[:, :d],
+            n_kmers,
+        )

@@ -1,0 +1,223 @@
+"""Device match engine: k-mer containment scoring over a packed Bloom bit-matrix.
+
+This is the TPU-native replacement for ``cobs query``'s hot loop
+(ref: /root/reference/Snakefile:419-427; SURVEY.md section 2b): for each query
+k-mer, gather its Bloom row(s) from the packed bit-matrix and accumulate a
+per-document hit count.
+
+Data model
+----------
+  words     uint32 [S+1, Wp]   packed bit-matrix: doc d lives at word d//32,
+                               bit d%32 (see phylign_tpu.io.cobs.DeviceIndex).
+                               Row S (the last) is all-zero: the padding row.
+                               Wp is padded to a multiple of 128 words
+                               (512 B) so each row is lane-aligned.
+  row_idx   int32  [Q, K]      per query, K k-mer slots; each slot is a Bloom
+                               row index, or S (the zero row) for padding /
+                               absent k-mers. For num_hashes > 1 the slot axis
+                               is [Q, K, H] and a k-mer hits only if ALL H
+                               rows have the doc bit (AND before counting).
+  scores    int32  [Q, 32*Wp]  per (query, doc) hit counts; callers slice
+                               [:, :num_docs].
+
+Two implementations with identical semantics:
+  * ``match_scores_xla``   — pure jnp (gather + bit-unpack + segment-sum),
+                             runs on any backend; the correctness baseline.
+  * ``match_scores_pallas``— TPU kernel: per-query DMA row gather from HBM
+                             into VMEM with a deep async pipeline, then an
+                             unrolled 32-shift vertical popcount on the VPU.
+
+The padding-row trick keeps every shape static: invalid slots contribute 0
+to every document, so no masks enter the inner loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_WORDS = 128  # uint32 words per 512-byte aligned row chunk
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_device_words(words: np.ndarray) -> np.ndarray:
+    """[S, W] uint32 -> [S+1, Wp] with Wp multiple of LANE_WORDS and a final
+    all-zero padding row."""
+    s, w = words.shape
+    wp = round_up(max(w, 1), LANE_WORDS)
+    out = np.zeros((s + 1, wp), dtype=np.uint32)
+    out[:s, :w] = words
+    return out
+
+
+def pack_row_indices(
+    rows_per_query: list[np.ndarray], k_max: int, pad_row: int, num_hashes: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stack per-query [n_kmers, H] row-index arrays into [Q, K, H] int32 plus
+    the per-query valid k-mer counts [Q] int32. Queries with more than k_max
+    k-mers are rejected (caller buckets by length)."""
+    q = len(rows_per_query)
+    out = np.full((q, k_max, num_hashes), pad_row, dtype=np.int32)
+    counts = np.zeros(q, dtype=np.int32)
+    for i, r in enumerate(rows_per_query):
+        n = r.shape[0]
+        if n > k_max:
+            raise ValueError(f"query {i} has {n} k-mers > k_max={k_max}")
+        out[i, :n] = r
+        counts[i] = n
+    return out, counts
+
+
+# --- XLA reference implementation -------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k_chunk",))
+def match_scores_xla(
+    words: jax.Array, row_idx: jax.Array, k_chunk: int = 8
+) -> jax.Array:
+    """Gather + vertical popcount in pure jnp.
+
+    words: uint32 [S+1, Wp]; row_idx: int32 [Q, K] or [Q, K, H].
+    Returns int32 [Q, 32*Wp] (doc d at index (d//32)*32 + d%32 == d).
+    """
+    if row_idx.ndim == 2:
+        row_idx = row_idx[..., None]
+    q, k, h = row_idx.shape
+    wp = words.shape[1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def body(acc, idx_chunk):
+        # idx_chunk: [Q, k_chunk, H]
+        g = words[idx_chunk]  # [Q, kc, H, Wp] uint32
+        g = jax.lax.reduce(
+            g, np.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(2,)
+        )  # AND over hashes -> [Q, kc, Wp]
+        bits = (g[..., None] >> shifts) & jnp.uint32(1)  # [Q, kc, Wp, 32]
+        acc = acc + bits.astype(jnp.int32).sum(axis=1)  # [Q, Wp, 32]
+        return acc, None
+
+    n_chunks = (k + k_chunk - 1) // k_chunk
+    pad = n_chunks * k_chunk - k
+    if pad:
+        # pad with the zero row (index S = words.shape[0]-1)
+        fill = jnp.full((q, pad, h), words.shape[0] - 1, row_idx.dtype)
+        row_idx = jnp.concatenate([row_idx, fill], axis=1)
+    chunks = row_idx.reshape(q, n_chunks, k_chunk, h).transpose(1, 0, 2, 3)
+    acc0 = jnp.zeros((q, wp, 32), dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, chunks)
+    # [Q, Wp, 32] -> [Q, Wp*32] with doc d at w*32 + b
+    return acc.reshape(q, wp * 32)
+
+
+# --- Pallas TPU kernel -------------------------------------------------------
+
+_N_BUF = 16  # DMA pipeline depth for the row gather
+_QT = 8  # queries per grid step (SMEM sublane granularity)
+
+
+def _match_kernel_body(
+    idx_ref,  # SMEM block: int32 [QT, K * H] — this tile's row indices
+    words_hbm,  # ANY/HBM: uint32 [S+1, Wp]
+    out_ref,  # VMEM out block: int32 [QT, 32, Wp]
+    rows_vmem,  # scratch: uint32 [QT * K * H, Wp]
+    sems,  # DMA semaphores [_N_BUF]
+    *,
+    k: int,
+    h: int,
+):
+    n = k * h
+    total = _QT * n
+
+    def get_dma(slot, i):
+        row = idx_ref[i // n, i % n]
+        return pltpu.make_async_copy(
+            words_hbm.at[row], rows_vmem.at[i], sems.at[slot]
+        )
+
+    # warm-up: fill the pipeline
+    for i in range(min(_N_BUF, total)):
+        get_dma(i % _N_BUF, i).start()
+
+    def loop(i, _):
+        get_dma(i % _N_BUF, i).wait()
+
+        @pl.when(i + _N_BUF < total)
+        def _():
+            get_dma(i % _N_BUF, i + _N_BUF).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, total, loop, 0)
+
+    wp = rows_vmem.shape[-1]
+    for qi in range(_QT):
+        g = rows_vmem[qi * n : (qi + 1) * n, :]
+        if h > 1:
+            kk = g.reshape(k, h, wp)
+            g = kk[:, 0, :]
+            for j in range(1, h):
+                g = g & kk[:, j, :]
+        # vertical popcount: 32 unrolled shift-mask passes, K-sum on sublanes
+        for b in range(32):
+            bits = (g >> jnp.uint32(b)) & jnp.uint32(1)
+            out_ref[qi, b, :] = bits.astype(jnp.int32).sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def match_scores_pallas(
+    words: jax.Array, row_idx: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """TPU Pallas path; same contract as match_scores_xla."""
+    if row_idx.ndim == 2:
+        row_idx = row_idx[..., None]
+    q, k, h = row_idx.shape
+    wp = words.shape[1]
+    assert wp % LANE_WORDS == 0, "pad words with pad_device_words first"
+    qp = round_up(q, _QT)
+    if qp != q:  # pad with all-padding-row queries, slice after
+        fill = jnp.full((qp - q, k, h), words.shape[0] - 1, row_idx.dtype)
+        row_idx = jnp.concatenate([row_idx, fill], axis=0)
+
+    grid_spec = pl.GridSpec(
+        grid=(qp // _QT,),
+        in_specs=[
+            pl.BlockSpec(
+                (_QT, k * h), lambda i: (i, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (_QT, 32, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_QT * k * h, wp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((_N_BUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_match_kernel_body, k=k, h=h),
+        out_shape=jax.ShapeDtypeStruct((qp, 32, wp), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(row_idx.reshape(qp, k * h), words)
+    # [Q, 32, Wp] -> [Q, Wp*32] with doc d at w*32+b
+    return out[:q].transpose(0, 2, 1).reshape(q, wp * 32)
+
+
+def match_scores(
+    words: jax.Array, row_idx: jax.Array, use_pallas: bool | None = None
+) -> jax.Array:
+    """Dispatch: Pallas on TPU, XLA elsewhere (Pallas-interpret in tests)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return match_scores_pallas(words, row_idx)
+    return match_scores_xla(words, row_idx)
