@@ -1,0 +1,296 @@
+"""Batched alignment of candidate (query, genome) pairs -> SAM records.
+
+TPU-native replacement for the reference's per-genome minimap2 subprocesses
+(ref: /root/reference/scripts/batch_align.py:416-486 map_queries_to_batch):
+instead of one OS process per candidate genome, all pairs of a genome are
+chained and extended as fixed-shape device batches:
+
+  host:   tar streaming, minimizer sketching (numpy), anchor lookup
+  device: chain DP over [P, A] anchor tensors (ops.chain), banded dual-affine
+          extension over [P, L, BAND] (ops.extend)
+  host:   traceback, CIGAR/flag/POS emission
+
+Output order matches the reference: genomes in tar order, and for each
+genome its queries in filtered-file order (batch_align.py:448-478 +
+minimap2's input-order output). Record shape: primary-only (sr preset sets
+--secondary=no), so flags are 0/16 for mapped and 4 for unmapped — exactly
+the golden file's flag set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from phylign_tpu.io.asmtar import iter_batch_assemblies
+from phylign_tpu.io.sam import SamRecord, unmapped_record
+from phylign_tpu.kmer import decode_seq, encode_seq, revcomp_codes
+from phylign_tpu.match.filter import FilteredQuery
+from phylign_tpu.ops import chain as opc
+from phylign_tpu.ops import extend as ope
+from phylign_tpu.ops import minimizer as opm
+
+
+@dataclass(frozen=True)
+class AlignParams:
+    """minimap2 sr preset knobs this engine honors
+    (ref: config.yaml:35 minimap_preset 'sr', batch_align.py:268-270)."""
+
+    k: int = 21
+    w: int = 11
+    max_gap: int = 100
+    bandwidth: int = 100
+    min_chain_cnt: int = 2  # sr -n
+    min_chain_score: float = 20.0  # sr -m
+    scoring: ope.SrScoring = field(default_factory=ope.SrScoring)
+    max_anchors: int = 64  # padded anchor slots per (pair, strand)
+    max_occ: int = 50  # high-frequency seed filter
+
+
+@dataclass
+class QuerySketch:
+    """Per-query precomputed state, shared across all genomes of all batches."""
+
+    name: str
+    seq: str
+    codes: np.ndarray
+    rc_codes: np.ndarray
+    mh: np.ndarray  # minimizer hashes
+    mp: np.ndarray  # minimizer positions
+    ms: np.ndarray  # minimizer strands
+
+    @classmethod
+    def make(cls, name: str, seq: str, params: AlignParams) -> "QuerySketch":
+        codes = encode_seq(seq.encode())
+        mh, mp, mstr = opm.minimizers(codes, params.k, params.w)
+        return cls(name, seq, codes, revcomp_codes(codes), mh, mp, mstr)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_pairs(n: int) -> int:
+    """Pad pair count to limit distinct jit shapes."""
+    return max(8, 1 << (n - 1).bit_length())
+
+
+def _chain_pairs(
+    anchor_sets: list[opm.Anchors], params: AlignParams
+) -> opc.ChainResult:
+    """Chain a list of anchor sets as one padded device call."""
+    p = _bucket_pairs(len(anchor_sets))
+    a = params.max_anchors
+    rpos = np.full((p, a), opc.PAD_POS, np.int32)
+    qpos = np.full((p, a), opc.PAD_POS, np.int32)
+    for i, an in enumerate(anchor_sets):
+        n = min(len(an.rpos), a)
+        rpos[i, :n] = an.rpos[:n]
+        qpos[i, :n] = an.qpos[:n]
+    return opc.chain_anchors(
+        jnp.asarray(rpos),
+        jnp.asarray(qpos),
+        k=params.k,
+        max_gap=params.max_gap,
+        bandwidth=params.bandwidth,
+    )
+
+
+def _soft_clip_ends(cig: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """Leading/trailing insertions become soft clips (SAM convention; happens
+    when a read overhangs its contig)."""
+    cig = list(cig)
+    if cig and cig[0][1] == "I":
+        cig[0] = (cig[0][0], "S")
+    if cig and cig[-1][1] == "I":
+        cig[-1] = (cig[-1][0], "S")
+    return cig
+
+
+def _cigar_str(cig: list[tuple[int, str]]) -> str:
+    return "".join(f"{n}{op}" for n, op in cig)
+
+
+def align_genome(
+    rname: str,
+    contigs: list[tuple[str, np.ndarray]],
+    sketches: Sequence[QuerySketch],
+    params: AlignParams,
+) -> list[SamRecord]:
+    """Align the given queries to one genome; one record per query
+    (mapped primary or unmapped), in query order."""
+    if not sketches:
+        return []
+    ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+
+    # anchors for both strands of every pair
+    anchor_sets: list[opm.Anchors] = []
+    meta: list[tuple[int, int]] = []  # (query idx, strand 0/1)
+    for qi, sk in enumerate(sketches):
+        plus, minus = opm.collect_anchors(
+            ref, sk.mh, sk.mp, sk.ms, len(sk.codes), params.max_occ
+        )
+        for strand, an in ((0, plus), (1, minus)):
+            if len(an.rpos) > 0:
+                anchor_sets.append(an)
+                meta.append((qi, strand))
+
+    best: dict[int, tuple[float, int, int, int, int, int, float]] = {}
+    # qi -> (score, strand, qs, qe, rs, re, s2)
+    if anchor_sets:
+        res = _chain_pairs(anchor_sets, params)
+        for i, (qi, strand) in enumerate(meta):
+            sc = float(res.score[i])
+            cnt = int(res.count[i])
+            if cnt < params.min_chain_cnt or sc < params.min_chain_score:
+                continue
+            prev = best.get(qi)
+            if prev is None or sc > prev[0]:
+                s2 = prev[0] if prev is not None else 0.0
+                best[qi] = (
+                    sc,
+                    strand,
+                    int(res.qs[i]),
+                    int(res.qe[i]),
+                    int(res.rs[i]),
+                    int(res.re[i]),
+                    s2,
+                )
+            else:
+                old = best[qi]
+                best[qi] = old[:6] + (max(old[6], sc),)
+
+    # build extension batch for chained pairs
+    chained = sorted(best.items())
+    records: dict[int, SamRecord] = {}
+    if chained:
+        lmax = _round_up(max(len(s.codes) for s in sketches), 32)
+        p = _bucket_pairs(len(chained))
+        q_codes = np.zeros((p, lmax), np.uint8)
+        q_len = np.zeros(p, np.int32)
+        rwin = np.zeros((p, lmax + ope.BAND), np.uint8)
+        rvalid = np.zeros((p, lmax + ope.BAND), bool)
+        w0s, contig_ids = [], []
+        half = ope.BAND // 2
+        for i, (qi, (sc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
+            sk = sketches[qi]
+            codes = sk.rc_codes if strand else sk.codes
+            q_codes[i, : len(codes)] = codes
+            q_len[i] = len(codes)
+            w0 = (rs - qs) - half
+            idx = w0 + np.arange(lmax + ope.BAND)
+            c, _ = ref.contig_of(max(0, min(rs, len(ref.codes) - 1)))
+            c_start = int(ref.contig_starts[c])
+            c_end = c_start + int(ref.contig_lens[c])
+            ok = (idx >= c_start) & (idx < c_end)
+            rwin[i] = ref.codes[np.clip(idx, 0, len(ref.codes) - 1)]
+            rwin[i][~ok] = 0
+            rvalid[i] = ok
+            w0s.append(w0)
+            contig_ids.append(c)
+
+        ext = ope.extend_banded(
+            jnp.asarray(q_codes),
+            jnp.asarray(q_len),
+            jnp.asarray(rwin),
+            jnp.asarray(rvalid),
+            scoring=params.scoring,
+        )
+        p_planes = np.asarray(ext.p_plane)
+        scores = np.asarray(ext.score)
+        end_ds = np.asarray(ext.end_d)
+
+        for i, (qi, (csc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
+            sk = sketches[qi]
+            dp_score = float(scores[i])
+            if dp_score < params.scoring.min_dp_score:
+                continue
+            qlen = int(q_len[i])
+            cig, start_d = ope.traceback_one(
+                p_planes[i], q_codes[i], qlen, rwin[i], int(end_ds[i]), params.scoring
+            )
+            cig = _soft_clip_ends(cig)
+            # POS: first ref-consuming op; leading S consumes neither
+            gstart = w0s[i] + start_d
+            c = contig_ids[i]
+            pos = gstart - int(ref.contig_starts[c]) + 1
+            n_x = sum(n for n, op in cig if op == "X")
+            n_i = sum(n for n, op in cig if op == "I")
+            n_d = sum(n for n, op in cig if op == "D")
+            n_eq = sum(n for n, op in cig if op == "=")
+            nm = n_x + n_i + n_d
+            blen = n_eq + n_x + n_i + n_d
+            de = round(nm / max(1, blen), 4)
+            mapq = _mapq(csc, s2)
+            seq = (
+                decode_seq(sk.rc_codes).decode() if strand else sk.seq
+            )
+            records[qi] = SamRecord(
+                qname=sk.name,
+                flag=16 if strand else 0,
+                rname=ref.contig_names[c],
+                pos=pos,
+                mapq=mapq,
+                cigar=_cigar_str(cig),
+                seq=seq,
+                tags=[
+                    f"NM:i:{nm}",
+                    f"ms:i:{int(dp_score)}",
+                    f"AS:i:{int(dp_score)}",
+                    "nn:i:0",
+                    "tp:A:P",
+                    f"cm:i:{int(csc / params.k)}",
+                    f"s1:i:{int(csc)}",
+                    f"s2:i:{int(s2)}",
+                    f"de:f:{de}",
+                    "rl:i:0",
+                ],
+            )
+
+    out = []
+    for qi, sk in enumerate(sketches):
+        out.append(records.get(qi) or unmapped_record(sk.name, sk.seq))
+    return out
+
+
+def _mapq(s1: float, s2: float) -> int:
+    """minimap2-flavored mapping quality from chain scores (col 5 is not part
+    of the acceptance oracle; this tracks mm2's shape: high when unique)."""
+    if s1 <= 0:
+        return 0
+    ratio = max(0.0, 1.0 - s2 / s1)
+    return max(0, min(60, int(60 * ratio)))
+
+
+def align_batch(
+    tar_path: str,
+    queries: Sequence[FilteredQuery],
+    batch_accessions: set[str] | None,
+    params: AlignParams = AlignParams(),
+) -> Iterator[SamRecord]:
+    """Align a batch: stream candidate genomes out of the tar and emit SAM
+    records (mirrors batch_align.py map_queries_to_batch, device-batched).
+
+    queries: filtered queries (candidate accessions in .candidates).
+    batch_accessions: the batch's own accession allow-list
+    (ref: Snakefile:543-546), or None to accept all.
+    """
+    rname_to_q: dict[str, list[int]] = {}
+    sketch_cache: dict[int, QuerySketch] = {}
+    for qi, fq in enumerate(queries):
+        for _, acc, _ in fq.candidates:
+            if batch_accessions is not None and acc not in batch_accessions:
+                continue
+            rname_to_q.setdefault(acc, []).append(qi)
+
+    for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
+        sks = []
+        for qi in rname_to_q[rname]:
+            if qi not in sketch_cache:
+                fq = queries[qi]
+                sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
+            sks.append(sketch_cache[qi])
+        yield from align_genome(rname, contigs, sks, params)

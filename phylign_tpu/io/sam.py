@@ -1,0 +1,103 @@
+"""SAM record formatting, headerless per-batch output, and aggregation.
+
+Output contracts mirrored from the reference:
+  * per-batch ``05_map/{batch}____{qfile}.sam.gz``: headerless SAM (all
+    ``@`` lines stripped: /root/reference/Snakefile:556-560,
+    batch_align.py:256-259);
+  * final ``output/{qfile}.sam_summary.gz``: concatenation over batches of a
+    gzip member containing ``\\n==> {per-batch path} <==`` followed by that
+    batch's sam.gz bytes — multi-member gzip, decompresses to the joined
+    text (ref: /root/reference/scripts/aggregate_sams.sh:13-24);
+  * the acceptance oracle compares only columns 1-3 (qname, flag, rname):
+    /root/reference/Makefile:40-55.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable, Iterator, Sequence
+
+
+@dataclass
+class SamRecord:
+    qname: str
+    flag: int  # 0 fwd, 16 rev, 4 unmapped (sr preset: --secondary=no)
+    rname: str  # contig name, '*' if unmapped
+    pos: int  # 1-based leftmost, 0 if unmapped
+    mapq: int
+    cigar: str  # eqx-style ('='/'X'/'I'/'D'), '*' if unmapped
+    seq: str
+    tags: list[str] = field(default_factory=list)
+
+    def to_line(self) -> str:
+        fields = [
+            self.qname,
+            str(self.flag),
+            self.rname,
+            str(self.pos),
+            str(self.mapq),
+            self.cigar,
+            "*",  # RNEXT
+            "0",  # PNEXT
+            "0",  # TLEN
+            self.seq,
+            "*",  # QUAL (queries are FASTA by the align stage)
+        ]
+        return "\t".join(fields + self.tags)
+
+
+def unmapped_record(qname: str, seq: str) -> SamRecord:
+    return SamRecord(qname, 4, "*", 0, 0, "*", seq, ["tp:A:P"])
+
+
+def write_batch_sam(path: str | os.PathLike, records: Iterable[SamRecord]) -> None:
+    """Headerless SAM, gzip --fast equivalent."""
+    with gzip.open(str(path), "wt", compresslevel=1) as f:
+        for r in records:
+            f.write(r.to_line() + "\n")
+
+
+def aggregate_sams(
+    out_path: str | os.PathLike, batch_sam_paths: Sequence[str | os.PathLike]
+) -> None:
+    """Concatenate per-batch sam.gz files with gzip'd '==> path <==' banners
+    between members (aggregate_sams.sh contract; relies on multi-member gzip)."""
+    with open(str(out_path), "wb") as out:
+        for i, p in enumerate(batch_sam_paths):
+            banner = ("" if i == 0 else "\n") + f"==> {p} <==\n"
+            out.write(gzip.compress(banner.encode(), compresslevel=1))
+            with open(str(p), "rb") as f:
+                out.write(f.read())
+
+
+def read_sam_summary(path: str | os.PathLike) -> Iterator[str]:
+    """Decompressed lines of a sam_summary.gz (or .xz for the golden file)."""
+    p = str(path)
+    if p.endswith(".xz"):
+        import lzma
+
+        opener = lzma.open
+    else:
+        opener = gzip.open
+    with opener(p, "rt") as f:
+        for line in f:
+            yield line.rstrip("\n")
+
+
+def summary_first3(path: str | os.PathLike) -> list[tuple[str, ...]]:
+    """Columns 1-3 of every record line (the acceptance oracle projection);
+    banner lines are kept verbatim as 1-tuples of their basename batch."""
+    out: list[tuple[str, ...]] = []
+    for line in read_sam_summary(path):
+        if not line:
+            continue
+        if line.startswith("==>"):
+            name = line.replace("==> ", "").replace(" <==", "")
+            out.append((Path(name).name.split("____")[0],))
+        else:
+            parts = line.split("\t")
+            out.append(tuple(parts[:3]))
+    return out

@@ -1,0 +1,279 @@
+"""Banded dual-affine-gap alignment extension (batched, device DP + host CIGAR).
+
+Replaces minimap2's DP extension for the sr preset
+(ref: /root/reference/scripts/batch_align.py:268-270 runs
+``minimap2 -a -x sr --eqx``; sr scoring: match 2, mismatch 8, gaps
+min(12 + 2*len, 32 + 1*len)). Produces --eqx style CIGARs ('='/'X' instead
+of 'M'), the golden-output convention
+(ref: /root/reference/data/reads_1___*.sam_summary.xz, e.g. '55=1X94=').
+
+Geometry: each (query, genome) pair aligns the full (strand-adjusted) query
+against a ref window centered on the chain diagonal. Band coordinates:
+query row i maps to window column i + d for band offset d in [0, BAND).
+The alignment is "glocal": the query aligns end-to-end, the ref window has
+free leading/trailing overhang (row -1 is all zeros; the result is the max
+over d of the last query row).
+
+The within-row deletion recurrence is solved with the prefix-max trick so
+each DP row is fully vectorized:
+    D[d] = max_{d'<d} (P[d'] + d'*E) - O - E - d*E   via lax.cummax
+where P = max(diag-move H, I). The device emits the final row scores plus
+the per-cell P plane; the host reconstructs H/I/D rows on demand and walks
+the traceback (gaps are rare, so per-gap argmax recomputation is cheap).
+
+TPU notes: band width is 128 (one full lane register); rows scan via
+lax.scan; everything is [P, BAND] f32, P pairs in sublanes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BAND = 128  # band width in ref offsets; half-band = BAND // 2
+NEG = np.float32(-1e30)
+
+
+@dataclass(frozen=True)
+class SrScoring:
+    """minimap2 sr preset scoring (-A2 -B8 -O12,32 -E2,1)."""
+
+    match: int = 2
+    mismatch: int = 8
+    gap_open1: int = 12
+    gap_ext1: int = 2
+    gap_open2: int = 32
+    gap_ext2: int = 1
+    min_dp_score: int = 40  # -s: min score to emit an alignment
+
+
+class ExtendResult(NamedTuple):
+    score: jax.Array  # f32 [P] best glocal score at the final query row
+    end_d: jax.Array  # int32 [P] band offset of the best final cell
+    p_plane: jax.Array  # f32 [P, L, BAND] the P = max(diag, I) plane
+
+
+@functools.partial(jax.jit, static_argnames=("scoring",))
+def extend_banded(
+    q_codes: jax.Array,  # int8/uint8 [P, L] strand-adjusted query codes
+    q_len: jax.Array,  # int32 [P] actual query lengths (<= L)
+    rwin: jax.Array,  # uint8 [P, L + BAND] ref window codes
+    rwin_valid: jax.Array,  # bool [P, L + BAND] in-contig mask for the window
+    scoring: SrScoring = SrScoring(),
+) -> ExtendResult:
+    p, l = q_codes.shape
+    o1 = jnp.float32(scoring.gap_open1 + scoring.gap_ext1)
+    e1 = jnp.float32(scoring.gap_ext1)
+    o2 = jnp.float32(scoring.gap_open2 + scoring.gap_ext2)
+    e2 = jnp.float32(scoring.gap_ext2)
+    d_idx = jnp.arange(BAND, dtype=jnp.float32)
+
+    def row(carry, xs):
+        h_prev, i1_prev, i2_prev, best, best_d = carry
+        qc, _, i = xs  # qc: [P] this row's query codes; i: row index
+
+        # window columns for this row: offsets i .. i+BAND-1
+        rrow = jax.lax.dynamic_slice(
+            rwin, (jnp.int32(0), i), (p, BAND)
+        )
+        rval = jax.lax.dynamic_slice(
+            rwin_valid, (jnp.int32(0), i), (p, BAND)
+        )
+        sub = jnp.where(
+            rrow == qc[:, None],
+            jnp.float32(scoring.match),
+            jnp.float32(-scoring.mismatch),
+        )
+        sub = jnp.where(rval, sub, NEG)  # never align into the contig guard
+
+        h_diag = h_prev + sub  # same-d: (i-1, j-1) -> (i, j)
+        # insertions (query consumed, ref not): from previous row, d+1
+        shift = lambda x: jnp.concatenate([x[:, 1:], jnp.full((p, 1), NEG)], axis=1)
+        i1 = jnp.maximum(shift(h_prev) - o1, shift(i1_prev) - e1)
+        i2 = jnp.maximum(shift(h_prev) - o2, shift(i2_prev) - e2)
+        pmax = jnp.maximum(h_diag, jnp.maximum(i1, i2))
+
+        # deletions within the row via exclusive prefix max
+        def delrow(o, e):
+            keyed = pmax + d_idx[None, :] * e
+            cm = jax.lax.cummax(keyed, axis=1)
+            cm_excl = jnp.concatenate(
+                [jnp.full((p, 1), NEG), cm[:, :-1]], axis=1
+            )
+            return cm_excl - o - d_idx[None, :] * e
+
+        # gap of length g costs O + g*E: the prefix-max uses the bare open
+        d1 = delrow(jnp.float32(scoring.gap_open1), e1)
+        d2 = delrow(jnp.float32(scoring.gap_open2), e2)
+        h = jnp.maximum(pmax, jnp.maximum(d1, d2))
+
+        is_last = i == (q_len - 1)  # [P]
+        row_best_d = jnp.argmax(h, axis=1).astype(jnp.int32)
+        row_best = jnp.take_along_axis(h, row_best_d[:, None], axis=1)[:, 0]
+        best = jnp.where(is_last, row_best, best)
+        best_d = jnp.where(is_last, row_best_d, best_d)
+        return (h, i1, i2, best, best_d), pmax
+
+    h0 = jnp.zeros((p, BAND), jnp.float32)  # free ref-overhang start
+    i10 = jnp.full((p, BAND), NEG)
+    i20 = jnp.full((p, BAND), NEG)
+    best0 = jnp.full(p, NEG)
+    bestd0 = jnp.zeros(p, jnp.int32)
+    xs = (
+        q_codes.T,  # [L, P]
+        jnp.zeros(l, jnp.int32),
+        jnp.arange(l, dtype=jnp.int32),
+    )
+    (_, _, _, best, best_d), p_planes = jax.lax.scan(
+        row, (h0, i10, i20, best0, bestd0), xs
+    )
+    return ExtendResult(
+        score=best, end_d=best_d, p_plane=p_planes.transpose(1, 0, 2)
+    )
+
+
+# --- host traceback ----------------------------------------------------------
+
+CIG_EQ, CIG_X, CIG_I, CIG_D = "=", "X", "I", "D"
+
+
+def _reconstruct(p_plane, o, e):
+    """D plane of one gap family from the P plane row: vectorized over rows."""
+    l, band = p_plane.shape
+    d_idx = np.arange(band, dtype=np.float32)
+    keyed = p_plane + d_idx[None, :] * e
+    cm = np.maximum.accumulate(keyed, axis=1)
+    cm_excl = np.concatenate([np.full((l, 1), NEG), cm[:, :-1]], axis=1)
+    return cm_excl - o - d_idx[None, :] * e
+
+
+def traceback_one(
+    p_plane: np.ndarray,  # f32 [L, BAND] (rows beyond qlen ignored)
+    q_codes: np.ndarray,  # [L]
+    qlen: int,
+    rwin: np.ndarray,  # [L + BAND]
+    end_d: int,
+    scoring: SrScoring = SrScoring(),
+) -> tuple[list[tuple[int, str]], int]:
+    """Rebuild H/I/D from the stored P plane and walk the optimal path.
+
+    Returns (cigar run-length list [(n, op)], start_d) where start_d is the
+    band offset at query row 0 (alignment ref start = window_start + start_d).
+    """
+    o1, e1 = float(scoring.gap_open1 + scoring.gap_ext1), float(scoring.gap_ext1)
+    o2, e2 = float(scoring.gap_open2 + scoring.gap_ext2), float(scoring.gap_ext2)
+    pp = p_plane[:qlen]
+    d1 = _reconstruct(pp, float(scoring.gap_open1), e1)
+    d2 = _reconstruct(pp, float(scoring.gap_open2), e2)
+    h = np.maximum(pp, np.maximum(d1, d2))
+    # forward-recompute I planes from H (row 0 opens from the virtual all-zero
+    # row -1, matching the device recurrence)
+    band = pp.shape[1]
+    i1 = np.full((qlen, band), NEG, np.float32)
+    i2 = np.full((qlen, band), NEG, np.float32)
+    i1[0, : band - 1] = -o1
+    i2[0, : band - 1] = -o2
+    for i in range(1, qlen):
+        hs = np.concatenate([h[i - 1, 1:], [NEG]])
+        i1[i] = np.maximum(hs - o1, np.concatenate([i1[i - 1, 1:], [NEG]]) - e1)
+        i2[i] = np.maximum(hs - o2, np.concatenate([i2[i - 1, 1:], [NEG]]) - e2)
+
+    eps = 1e-3
+    ops: list[str] = []
+    i, d = qlen - 1, int(end_d)
+    state = "H"
+    while i >= 0:
+        if state == "H":
+            val = h[i, d]
+            if abs(val - pp[i, d]) > eps:
+                # came from a deletion family
+                state = "D1" if abs(val - d1[i, d]) <= eps else "D2"
+                continue
+            # P = max(diag, I): disambiguate
+            if abs(pp[i, d] - i1[i, d]) <= eps:
+                state = "I1"
+                continue
+            if abs(pp[i, d] - i2[i, d]) <= eps:
+                state = "I2"
+                continue
+            # diagonal
+            match = q_codes[i] == rwin[i + d]
+            ops.append(CIG_EQ if match else CIG_X)
+            i -= 1
+            state = "H"
+        elif state in ("D1", "D2"):
+            o, e, dd = (
+                (float(scoring.gap_open1), e1, d1)
+                if state == "D1"
+                else (float(scoring.gap_open2), e2, d2)
+            )
+            # find gap start d' < d: dd[i, d] = P[i, d'] - o - (d - d')*e
+            target = dd[i, d]
+            dprime = None
+            for dp in range(d - 1, -1, -1):
+                if abs((pp[i, dp] - o - (d - dp) * e) - target) <= eps:
+                    dprime = dp
+                    break
+            assert dprime is not None, "deletion traceback failed"
+            ops.extend(CIG_D * (d - dprime))
+            d = dprime
+            state = "H"
+        else:  # I1 / I2
+            e, o, ii = (e1, o1, i1) if state == "I1" else (e2, o2, i2)
+            val = ii[i, d]
+            if i == 0:
+                hs = 0.0  # virtual row -1 (free ref-overhang start)
+            else:
+                hs = h[i - 1, d + 1] if d + 1 < band else NEG
+            ops.append(CIG_I)
+            if abs(val - (hs - o)) <= eps:
+                state = "H"
+            # else: gap extension, stay in the same I family
+            i -= 1
+            d += 1
+    assert state == "H"
+    start_d = d
+    ops.reverse()
+    # run-length encode
+    rle: list[tuple[int, str]] = []
+    for op in ops:
+        if rle and rle[-1][1] == op:
+            rle[-1] = (rle[-1][0] + 1, op)
+        else:
+            rle.append((1, op))
+    return rle, start_d
+
+
+def align_oracle(q: np.ndarray, r: np.ndarray, scoring: SrScoring = SrScoring()):
+    """O(L*R) full (unbanded) dual-affine glocal DP, scalar transliteration,
+    for tests: best score of aligning ALL of q within r (free ref overhangs)."""
+    lq, lr = len(q), len(r)
+    o1, e1 = scoring.gap_open1 + scoring.gap_ext1, scoring.gap_ext1
+    o2, e2 = scoring.gap_open2 + scoring.gap_ext2, scoring.gap_ext2
+    neg = -1e30
+    h_prev = np.zeros(lr + 1)  # row i=0: free leading ref overhang
+    i1_prev = np.full(lr + 1, neg)
+    i2_prev = np.full(lr + 1, neg)
+    for i in range(1, lq + 1):
+        h = np.full(lr + 1, neg)
+        i1 = np.full(lr + 1, neg)
+        i2 = np.full(lr + 1, neg)
+        d1 = d2 = neg
+        for j in range(lr + 1):
+            i1[j] = max(h_prev[j] - o1, i1_prev[j] - e1)
+            i2[j] = max(h_prev[j] - o2, i2_prev[j] - e2)
+            best = max(i1[j], i2[j])
+            if j > 0:
+                s = scoring.match if q[i - 1] == r[j - 1] else -scoring.mismatch
+                best = max(best, h_prev[j - 1] + s)
+                d1 = max(h[j - 1] - o1, d1 - e1)
+                d2 = max(h[j - 1] - o2, d2 - e2)
+                best = max(best, d1, d2)
+            h[j] = best
+        h_prev, i1_prev, i2_prev = h, i1, i2
+    return float(h_prev.max())

@@ -1,0 +1,223 @@
+"""Minimizer extraction and anchor (seed) generation, minimap2-sr-style.
+
+The reference aligns candidate (query, genome) pairs with
+``minimap2 -a -x sr --eqx`` (ref: /root/reference/scripts/batch_align.py:268-270,
+config.yaml:35,38). The sr preset seeds with (k=21, w=11) minimizers. This
+module is the host-side numpy equivalent of minimap2's sketch + seed-lookup:
+
+  * k-mers are 2-bit packed (A=0 C=1 G=2 T=3); the canonical strand is the
+    numerically smaller of forward/revcomp packing; strand-symmetric k-mers
+    (fwd == rc) are skipped;
+  * the packed value is scrambled with the 64-bit invertible finalizer
+    minimap2 uses (hash64 masked to 2k bits) before window comparison;
+  * position i is a minimizer iff its hash is the minimum of at least one
+    w-window covering it (ties kept).
+
+All arrays are numpy; genomes are processed once per batch and the resulting
+sorted seed tables feed the device chain/extend kernels
+(phylign_tpu.ops.chain / extend).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_U64 = np.uint64
+KMER_SR = 21
+WINDOW_SR = 11
+
+#: Gap inserted between concatenated contigs in the global coordinate space.
+#: Larger than every chaining distance bound, so chains cannot span contigs.
+CONTIG_GUARD = 10_000
+
+
+def _hash64(x: np.ndarray, mask: np.uint64) -> np.ndarray:
+    """Invertible 64-bit mix (Thomas Wang / minimap2 hash64), masked."""
+    old = np.seterr(over="ignore")
+    try:
+        x = (~x + (x << _U64(21))) & mask
+        x = x ^ (x >> _U64(24))
+        x = (x + (x << _U64(3)) + (x << _U64(8))) & mask
+        x = x ^ (x >> _U64(14))
+        x = (x + (x << _U64(2)) + (x << _U64(4))) & mask
+        x = x ^ (x >> _U64(28))
+        x = (x + (x << _U64(31))) & mask
+        return x
+    finally:
+        np.seterr(**old)
+
+
+def packed_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """2-bit packed forward and revcomp k-mer values: (fwd u64[N], rc u64[N])."""
+    n = codes.shape[0] - k + 1
+    if n <= 0:
+        return np.empty(0, _U64), np.empty(0, _U64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k).astype(_U64)
+    pows = (_U64(4) ** np.arange(k - 1, -1, -1, dtype=_U64))
+    old = np.seterr(over="ignore")
+    try:
+        fwd = win @ pows
+        rc = (_U64(3) - win[:, ::-1]) @ pows
+    finally:
+        np.seterr(**old)
+    return fwd, rc
+
+
+def minimizers(
+    codes: np.ndarray, k: int = KMER_SR, w: int = WINDOW_SR
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Minimizer sketch of a code sequence.
+
+    Returns (hashes u64[M], positions int32[M], strand u8[M]) sorted by
+    position; strand 0 = canonical k-mer is the forward packing.
+    """
+    fwd, rc = packed_kmers(codes, k)
+    n = fwd.shape[0]
+    if n == 0:
+        return np.empty(0, _U64), np.empty(0, np.int32), np.empty(0, np.uint8)
+    strand = (rc < fwd).astype(np.uint8)  # 1 -> canonical is revcomp
+    ambiguous = fwd == rc
+    canon = np.where(strand == 1, rc, fwd)
+    mask = _U64((1 << (2 * k)) - 1)
+    h = _hash64(canon, mask)
+    h[ambiguous] = np.iinfo(np.uint64).max  # never selected
+
+    if n < w:
+        w = n  # short sequences: one window over everything
+    nw = n - w + 1
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+    sw_min = hw.min(axis=1)  # [nw]
+    selected = np.zeros(n, dtype=bool)
+    for d in range(w):
+        idx = np.arange(nw) + d
+        selected[idx] |= h[idx] == sw_min
+    selected &= ~ambiguous
+    pos = np.nonzero(selected)[0].astype(np.int32)
+    return h[pos], pos, strand[pos]
+
+
+@dataclass
+class RefIndex:
+    """Sorted minimizer table of one genome (all contigs, global coords)."""
+
+    name: str  # genome accession
+    contig_names: list[str]
+    contig_starts: np.ndarray  # int64 [C] global start of each contig
+    contig_lens: np.ndarray  # int64 [C]
+    codes: np.ndarray  # uint8 [T] concatenated 2-bit codes with guard gaps
+    sort_hash: np.ndarray  # u64 [M] sorted
+    sort_pos: np.ndarray  # int32 [M] global positions, by hash
+    sort_strand: np.ndarray  # u8 [M]
+    k: int
+    w: int
+
+    def contig_of(self, gpos: int) -> tuple[int, int]:
+        """Global position -> (contig_idx, position within contig)."""
+        c = int(np.searchsorted(self.contig_starts, gpos, side="right")) - 1
+        return c, int(gpos - self.contig_starts[c])
+
+
+def build_ref_index(
+    name: str,
+    contigs: list[tuple[str, np.ndarray]],
+    k: int = KMER_SR,
+    w: int = WINDOW_SR,
+) -> RefIndex:
+    """Index a genome: per-contig minimizers in a global guarded coordinate
+    space, sorted by hash for binary-search seeding.
+
+    The guard gap (CONTIG_GUARD 'A's) exceeds every chaining distance bound,
+    so no chain or alignment band can cross a contig boundary; guard-region
+    minimizers are excluded from the table.
+    """
+    starts, lens, parts = [], [], []
+    cur = 0
+    for _, codes in contigs:
+        starts.append(cur)
+        lens.append(len(codes))
+        parts.append(codes)
+        cur += len(codes)
+        parts.append(np.zeros(CONTIG_GUARD, dtype=np.uint8))  # 'A' guard
+        cur += CONTIG_GUARD
+    allcodes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+    hs, ps, ss = [], [], []
+    for (_, codes), start in zip(contigs, starts):
+        h, p, s = minimizers(codes, k, w)
+        hs.append(h)
+        ps.append(p + np.int32(start))
+        ss.append(s)
+    h = np.concatenate(hs) if hs else np.empty(0, _U64)
+    p = np.concatenate(ps) if ps else np.empty(0, np.int32)
+    s = np.concatenate(ss) if ss else np.empty(0, np.uint8)
+    order = np.argsort(h, kind="stable")
+    return RefIndex(
+        name=name,
+        contig_names=[c for c, _ in contigs],
+        contig_starts=np.asarray(starts, np.int64),
+        contig_lens=np.asarray(lens, np.int64),
+        codes=allcodes,
+        sort_hash=h[order],
+        sort_pos=p[order],
+        sort_strand=s[order],
+        k=k,
+        w=w,
+    )
+
+
+@dataclass
+class Anchors:
+    """Seed anchors of one (query, genome) pair, one strand set."""
+
+    rpos: np.ndarray  # int32 [A] global ref pos of k-mer start (fwd ref coords)
+    qpos: np.ndarray  # int32 [A] query pos (in strand-adjusted query coords)
+
+
+def collect_anchors(
+    ref: RefIndex,
+    q_hash: np.ndarray,
+    q_pos: np.ndarray,
+    q_strand: np.ndarray,
+    qlen: int,
+    max_occ: int = 50,
+) -> tuple[Anchors, Anchors]:
+    """Look up query minimizers in the ref table -> (plus, minus) anchor sets.
+
+    An anchor joins a query minimizer and one ref occurrence of the same
+    canonical k-mer. Relative strand = q_strand XOR ref_strand; for minus
+    anchors the query coordinate is re-expressed in the reverse-complemented
+    query (qlen - k - qpos), so chaining is monotonic in both strands.
+    Seeds occurring more than max_occ times in the genome are dropped
+    (minimap2's high-frequency seed filter, sr -f).
+    """
+    lo = np.searchsorted(ref.sort_hash, q_hash, side="left")
+    hi = np.searchsorted(ref.sort_hash, q_hash, side="right")
+    rp_p, qp_p, rp_m, qp_m = [], [], [], []
+    k = ref.k
+    for i in range(q_hash.shape[0]):
+        cnt = hi[i] - lo[i]
+        if cnt == 0 or cnt > max_occ:
+            continue
+        rp = ref.sort_pos[lo[i] : hi[i]]
+        rs = ref.sort_strand[lo[i] : hi[i]]
+        rel = rs != q_strand[i]  # 1 -> read maps to ref minus strand
+        if (~rel).any():
+            rp_p.append(rp[~rel])
+            qp_p.append(np.full((~rel).sum(), q_pos[i], np.int32))
+        if rel.any():
+            rp_m.append(rp[rel])
+            qp_m.append(np.full(rel.sum(), qlen - k - q_pos[i], np.int32))
+    plus = Anchors(
+        np.concatenate(rp_p) if rp_p else np.empty(0, np.int32),
+        np.concatenate(qp_p) if qp_p else np.empty(0, np.int32),
+    )
+    minus = Anchors(
+        np.concatenate(rp_m) if rp_m else np.empty(0, np.int32),
+        np.concatenate(qp_m) if qp_m else np.empty(0, np.int32),
+    )
+    for a in (plus, minus):
+        order = np.lexsort((a.qpos, a.rpos))
+        a.rpos, a.qpos = a.rpos[order], a.qpos[order]
+    return plus, minus

@@ -1,0 +1,143 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from phylign_tpu.align import engine
+from phylign_tpu.io import asmtar, sam
+from phylign_tpu.kmer import decode_seq, revcomp
+from phylign_tpu.match.filter import FilteredQuery
+
+
+def rand_seq(rng, n):
+    return bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), n))
+
+
+@pytest.fixture(scope="module")
+def batch(tmp_path_factory):
+    """Two genomes; reads planted fwd/rc/mutated; one absent read."""
+    rng = np.random.default_rng(20)
+    g1c1 = rand_seq(rng, 4000)
+    g1c2 = rand_seq(rng, 3000)
+    g2c1 = rand_seq(rng, 5000)
+
+    reads = {}
+    reads["r_fwd"] = g1c1[1000:1150]  # exact, + strand, genome1 contig1
+    reads["r_rev"] = revcomp(g1c2[500:650])  # exact, - strand, genome1 contig2
+    mut = bytearray(g2c1[2000:2150])
+    mut[70] = ord("A") if mut[70] != ord("A") else ord("C")
+    reads["r_mut"] = bytes(mut)  # 1 mismatch, genome2
+    reads["r_absent"] = rand_seq(rng, 150)  # matches nothing
+
+    d = tmp_path_factory.mktemp("batch")
+    tar = d / "synth__01.tar.xz"
+    asmtar.write_batch_tar(
+        tar,
+        [
+            ("SAMT0001", [("SAMT0001.contig1", g1c1), ("SAMT0001.contig2", g1c2)]),
+            ("SAMT0002", [("SAMT0002.contig1", g2c1)]),
+        ],
+    )
+    queries = [
+        FilteredQuery("r_fwd", reads["r_fwd"].decode(), [("b", "SAMT0001", 120)]),
+        FilteredQuery("r_rev", reads["r_rev"].decode(), [("b", "SAMT0001", 120)]),
+        FilteredQuery(
+            "r_mut",
+            reads["r_mut"].decode(),
+            [("b", "SAMT0002", 90), ("b", "SAMT0001", 5)],
+        ),
+        FilteredQuery("r_absent", reads["r_absent"].decode(), [("b", "SAMT0002", 1)]),
+        FilteredQuery("r_nocand", "ACGT" * 40, []),
+    ]
+    return str(tar), queries, reads
+
+
+class TestAsmTar:
+    def test_roundtrip_and_selection(self, batch):
+        tar, _, _ = batch
+        all_g = list(asmtar.iter_batch_assemblies(tar))
+        assert [g for g, _ in all_g] == ["SAMT0001", "SAMT0002"]
+        assert all_g[0][1][0][0] == "SAMT0001.contig1"
+        only2 = list(asmtar.iter_batch_assemblies(tar, {"SAMT0002"}))
+        assert [g for g, _ in only2] == ["SAMT0002"]
+
+
+class TestAlignBatch:
+    @pytest.fixture(scope="class")
+    def records(self, batch):
+        tar, queries, _ = batch
+        return list(engine.align_batch(tar, queries, None))
+
+    def test_record_set(self, records):
+        # genome1 gets r_fwd, r_rev AND r_mut (spurious candidate -> unmapped
+        # there, exactly like feeding it to that genome's minimap2);
+        # genome2 gets r_mut (mapped) and r_absent; r_nocand appears nowhere
+        assert [(r.qname, r.flag) for r in records] == [
+            ("r_fwd", 0),
+            ("r_rev", 16),
+            ("r_mut", 4),
+            ("r_mut", 0),
+            ("r_absent", 4),
+        ]
+
+    def test_fwd_alignment(self, records):
+        r = records[0]
+        assert r.rname == "SAMT0001.contig1"
+        assert r.pos == 1001
+        assert r.cigar == "150="
+        assert "NM:i:0" in r.tags
+
+    def test_rev_alignment(self, records):
+        r = records[1]
+        assert r.rname == "SAMT0001.contig2"
+        assert r.pos == 501
+        assert r.cigar == "150="
+        # SEQ is the revcomp (i.e. the genome-forward sequence)
+        assert r.flag == 16
+
+    def test_mutated(self, records):
+        r = records[3]
+        assert r.rname == "SAMT0002.contig1"
+        assert r.pos == 2001
+        assert r.cigar == "70=1X79="
+        assert "NM:i:1" in r.tags
+
+    def test_unmapped(self, records):
+        r = records[4]
+        assert (r.rname, r.pos, r.cigar) == ("*", 0, "*")
+
+    def test_accession_filter(self, batch):
+        tar, queries, _ = batch
+        recs = list(engine.align_batch(tar, queries, {"SAMT0002"}))
+        assert {r.qname for r in recs} == {"r_mut", "r_absent"}
+
+
+class TestSamIO:
+    def test_record_line(self):
+        r = sam.SamRecord("q1", 16, "ACC.c1", 42, 60, "150=", "ACGT", ["NM:i:0"])
+        line = r.to_line()
+        f = line.split("\t")
+        assert f[:6] == ["q1", "16", "ACC.c1", "42", "60", "150="]
+        assert f[9] == "ACGT" and f[11] == "NM:i:0"
+
+    def test_aggregate_multimember_gzip(self, tmp_path):
+        p1 = tmp_path / "b1.sam.gz"
+        p2 = tmp_path / "b2.sam.gz"
+        sam.write_batch_sam(p1, [sam.SamRecord("q", 0, "r", 1, 60, "4=", "ACGT")])
+        sam.write_batch_sam(p2, [sam.unmapped_record("q2", "TTTT")])
+        out = tmp_path / "sum.sam_summary.gz"
+        sam.aggregate_sams(out, [p1, p2])
+        text = gzip.decompress(out.read_bytes()).decode()
+        lines = text.splitlines()
+        assert lines[0] == f"==> {p1} <=="
+        assert lines[1].startswith("q\t0\tr")
+        assert lines[2] == ""
+        assert lines[3] == f"==> {p2} <=="
+        assert lines[4].startswith("q2\t4\t*")
+
+    def test_summary_first3(self, tmp_path):
+        p1 = tmp_path / "b1.sam.gz"
+        sam.write_batch_sam(p1, [sam.SamRecord("q", 0, "r", 1, 60, "4=", "ACGT")])
+        out = tmp_path / "s.gz"
+        sam.aggregate_sams(out, [p1])
+        assert sam.summary_first3(out) == [("b1.sam.gz",), ("q", "0", "r")]
