@@ -1,0 +1,73 @@
+"""Typed configuration mirroring the reference's config.yaml.
+
+Key-for-key compatible with /root/reference/config.yaml:1-139 (the search
+section affects results; the performance section does not), plus TPU-native
+extensions (device batching, mesh shape). A reference config.yaml loads
+unchanged; unknown keys error loudly so typos don't silently change runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class Config:
+    # --- search parameters (affect results; config.yaml:1-42) ---
+    batches: str = "data/batches_full.txt"
+    cobs_kmer_thres: float = 0.7
+    nb_best_hits: int = 100
+    minimap_preset: str = "sr"
+    minimap_extra_params: str = "--eqx"
+
+    # --- performance parameters (config.yaml:44-125) ---
+    threads: int | str = "all"
+    max_ram_gb: int = 12
+    max_download_threads: int = 8
+    download_retries: int = 3
+    download_retry_wait: int = 10
+    download_dir: str = "."
+    cobs_threads: int | str = "auto"
+    index_load_mode: str = "mem-stream"  # mem-stream | mem-disk | mmap-disk
+    max_io_heavy_threads: int = 8
+    minimap_threads: int = 1
+    prefer_pipe: bool = True
+
+    # --- misc (config.yaml:128-139) ---
+    keep_cobs_indexes: bool = False
+    decompression_dir: str | None = None
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    device_query_chunk: int = 1024  # queries per match device call
+    device_pair_chunk: int = 1024  # align pairs per extend device call
+    mesh_shape: str = "1x1"  # doc-shard x data-parallel mesh (parallel.mesh)
+    output_dir: str = "output"
+    intermediate_dir: str = "intermediate"
+    logs_dir: str = "logs"
+
+    def effective_threads(self) -> int:
+        if self.threads == "all":
+            return os.cpu_count() or 1
+        return int(self.threads)
+
+    @classmethod
+    def from_yaml(cls, path: str | os.PathLike) -> "Config":
+        data = yaml.safe_load(Path(path).read_text()) or {}
+        return cls.from_dict(data)
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**data)
+
+    def with_overrides(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **{k: v for k, v in kw.items() if v is not None})

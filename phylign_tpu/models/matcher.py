@@ -22,6 +22,7 @@ from phylign_tpu.ops.match import (
     match_scores,
     pack_row_indices,
     pad_device_words,
+    round_up,
 )
 
 
@@ -87,22 +88,45 @@ class Matcher:
         return pack_row_indices(per_query, k_max, self.pad_row, self.num_hashes)
 
     def score(
-        self, seqs: list[bytes], threshold: float, k_max: int | None = None
+        self, seqs: list[bytes], threshold: float, k_max: int = 512
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Convenience host API: returns (scores[Q, D], keep[Q, D], n_kmers[Q])."""
-        if k_max is None:
-            k_max = max(1, max(len(s) for s in seqs) - self.term_size + 1)
-        row_idx, n_kmers = self.rows_for_queries(seqs, k_max)
-        scores, keep = match_step(
-            self.words,
-            jnp.asarray(row_idx),
-            jnp.asarray(n_kmers),
-            threshold,
-            use_pallas=self.use_pallas,
-        )
+        """Convenience host API: returns (scores[Q, D], keep[Q, D], n_kmers[Q]).
+
+        Queries longer than k_max+term_size-1 are split into k_max-k-mer
+        segments scored as separate device rows and summed — exact for any
+        query length with fixed device shapes.
+        """
+        per_query = [
+            cobs_row_indices(
+                encode_seq(s), self.term_size, self.signature_size, self.num_hashes
+            )
+            for s in seqs
+        ]
+        n_kmers = np.array([r.shape[0] for r in per_query], np.int32)
+        seg_rows: list[np.ndarray] = []
+        owner: list[int] = []
+        for qi, r in enumerate(per_query):
+            if r.shape[0] == 0:
+                continue
+            for off in range(0, r.shape[0], k_max):
+                seg_rows.append(r[off : off + k_max])
+                owner.append(qi)
         d = len(self.doc_names)
-        return (
-            np.asarray(scores)[:, :d],
-            np.asarray(keep)[:, :d],
-            n_kmers,
+        scores = np.zeros((len(seqs), d), np.int32)
+        if seg_rows:
+            # bucket the packed k-mer axis to multiples of 64 to bound the
+            # number of distinct jit shapes
+            k_pack = min(k_max, round_up(max(r.shape[0] for r in seg_rows), 64))
+            packed, _ = pack_row_indices(
+                seg_rows, k_pack, self.pad_row, self.num_hashes
+            )
+            seg_scores = np.asarray(
+                match_scores(
+                    self.words, jnp.asarray(packed), use_pallas=self.use_pallas
+                )
+            )[:, :d]
+            np.add.at(scores, np.asarray(owner), seg_scores)
+        keep = (scores >= threshold * np.maximum(n_kmers, 1)[:, None]) & (
+            n_kmers[:, None] > 0
         )
+        return scores, keep, n_kmers

@@ -1,0 +1,132 @@
+"""Resource-aware job scheduler (the Snakemake-semaphore replacement).
+
+The reference throttles jobs with Snakemake resource counters:
+``max_io_heavy_threads``, ``max_ram_mb``, ``max_download_threads``
+(ref: /root/reference/Snakefile:399-407, Makefile:23-29) and retries failed
+jobs with exponentially escalated memory
+(``mem_mb=lambda wc, attempt: base * 2**attempt``, Snakefile:507,540,573,592).
+
+Here: an in-process thread pool over host-bound work (xz decode, tar
+streaming, CIGAR traceback) with
+  * a RAM accountant (condition variable over a byte budget),
+  * an IO-heavy semaphore,
+  * a device lock serializing TPU submissions (one chip; the multi-chip path
+    lives in phylign_tpu.parallel instead),
+  * per-job retry with doubled RAM reservation.
+Priorities mirror the reference's ``priority: 999`` on match jobs
+(Snakefile:413): higher runs first.
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+import logging
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+log = logging.getLogger("phylign_tpu.sched")
+
+
+class RamPool:
+    def __init__(self, total_mb: int):
+        self.total = total_mb
+        self.free = total_mb
+        self.cv = threading.Condition()
+
+    def acquire(self, mb: int) -> None:
+        mb = min(mb, self.total)  # a single over-sized job may still run alone
+        with self.cv:
+            while self.free < mb:
+                self.cv.wait()
+            self.free -= mb
+
+    def release(self, mb: int) -> None:
+        mb = min(mb, self.total)
+        with self.cv:
+            self.free += mb
+            self.cv.notify_all()
+
+
+@dataclass(order=True)
+class _QJob:
+    neg_priority: int
+    seq: int
+    job: "Job" = field(compare=False)
+
+
+@dataclass
+class Job:
+    name: str
+    fn: Callable[[], Any]
+    mem_mb: int = 256
+    io_heavy: bool = False
+    priority: int = 0
+    retries: int = 2
+
+    def __repr__(self):
+        return f"Job({self.name})"
+
+
+class Scheduler:
+    def __init__(
+        self,
+        workers: int,
+        max_ram_mb: int,
+        max_io_heavy: int,
+    ):
+        self.workers = max(1, workers)
+        self.ram = RamPool(max_ram_mb)
+        self.io_sem = threading.Semaphore(max(1, max_io_heavy))
+        self.device_lock = threading.Lock()
+
+    def run(self, jobs: list[Job]) -> dict[str, Any]:
+        """Run all jobs; returns name -> result. Raises the first error after
+        letting independent jobs finish (keep-going semantics)."""
+        heap: list[_QJob] = []
+        counter = itertools.count()
+        for j in jobs:
+            heapq.heappush(heap, _QJob(-j.priority, next(counter), j))
+        results: dict[str, Any] = {}
+        errors: list[tuple[str, BaseException]] = []
+        lock = threading.Lock()
+
+        def run_one(job: Job):
+            attempt = 0
+            while True:
+                mem = job.mem_mb * (2**attempt)
+                self.ram.acquire(mem)
+                if job.io_heavy:
+                    self.io_sem.acquire()
+                try:
+                    out = job.fn()
+                    with lock:
+                        results[job.name] = out
+                    return
+                except MemoryError:
+                    if attempt >= job.retries:
+                        raise
+                    attempt += 1
+                    log.warning("job %s OOM, retrying with %d MB", job.name, mem * 2)
+                finally:
+                    if job.io_heavy:
+                        self.io_sem.release()
+                    self.ram.release(mem)
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            futs = []
+            while heap:
+                qj = heapq.heappop(heap)
+                futs.append((qj.job.name, pool.submit(run_one, qj.job)))
+            for name, f in futs:
+                try:
+                    f.result()
+                except BaseException as e:  # noqa: BLE001 - collect, re-raise first
+                    errors.append((name, e))
+        if errors:
+            name, err = errors[0]
+            log.error("%d job(s) failed; first: %s", len(errors), name)
+            raise err
+        return results

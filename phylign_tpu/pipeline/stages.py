@@ -1,0 +1,309 @@
+"""The end-to-end pipeline: preprocess -> match -> filter -> align -> report.
+
+Replaces the reference's Snakemake DAG (ref: /root/reference/Snakefile:219-598)
+with an in-process pipeline over the same on-disk layout, so intermediates are
+drop-in comparable:
+
+    intermediate/00_queries_preprocessed/{stem}.fa      (rule fix_query)
+    intermediate/01_queries_merged/{merged}.fa          (rule concatenate_queries)
+    intermediate/03_match/{batch}____{merged}.gz        (rule decompress_and_run_cobs)
+    intermediate/04_filter/{merged}.fa                  (rule translate_matches)
+    intermediate/05_map/{batch}____{merged}.sam.gz      (rule batch_align_minimap2)
+    output/{merged}.sam_summary.gz, .stats              (aggregate_sams, final_stats)
+
+(02_cobs_decompressed exists only in the reference's mem-disk/mmap modes; the
+TPU build decodes xz straight into the device-index repack, the analogue of
+mem-stream: config.yaml:96-110.)
+
+Batch-level parallelism runs host-side work (xz decode, tar streaming,
+traceback) on the scheduler's thread pool; device work serializes through the
+device lock. Every unit is benchmark-logged and manifest-checkpointed.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from phylign_tpu.align.engine import AlignParams, align_batch
+from phylign_tpu.config import Config
+from phylign_tpu.io import cobs as cobs_io
+from phylign_tpu.io.fastx import (
+    FastxRecord,
+    normalize_and_merge,
+    read_fastx_file,
+    write_fasta,
+    xopen_read,
+    xopen_write,
+)
+from phylign_tpu.io.sam import aggregate_sams, write_batch_sam
+from phylign_tpu.io.stats import compute_stats
+from phylign_tpu.match.filter import (
+    filter_queries,
+    read_filtered_fasta,
+    write_filtered_fasta,
+)
+from phylign_tpu.match.oracle import query_index
+from phylign_tpu.match.postprocess import (
+    QueryMatches,
+    read_match_file,
+    write_match_file,
+)
+from phylign_tpu.models.matcher import Matcher
+from phylign_tpu.pipeline.manifest import Manifest, atomic_write_via
+from phylign_tpu.pipeline.scheduler import Job, Scheduler
+from phylign_tpu.utils.bench import benchmark
+
+log = logging.getLogger("phylign_tpu.pipeline")
+
+
+class Pipeline:
+    def __init__(self, config: Config, workdir: str | Path = "."):
+        self.cfg = config
+        self.root = Path(workdir)
+        self.inter = self.root / config.intermediate_dir
+        self.out = self.root / config.output_dir
+        self.logs = self.root / config.logs_dir
+        self.manifest = Manifest(self.inter)
+        self.sched = Scheduler(
+            workers=config.effective_threads(),
+            max_ram_mb=config.max_ram_gb * 1024,
+            max_io_heavy=config.max_io_heavy_threads,
+        )
+        for d in ("00_queries_preprocessed", "01_queries_merged", "03_match",
+                  "04_filter", "05_map"):
+            (self.inter / d).mkdir(parents=True, exist_ok=True)
+        self.out.mkdir(parents=True, exist_ok=True)
+
+    # --- paths ---------------------------------------------------------------
+
+    def batches(self) -> list[str]:
+        return [
+            ln.strip()
+            for ln in Path(self.root / self.cfg.batches).read_text().splitlines()
+            if ln.strip()
+        ]
+
+    def cobs_path(self, batch: str) -> Path:
+        return self.root / self.cfg.download_dir / "cobs" / f"{batch}.cobs_classic.xz"
+
+    def asms_path(self, batch: str) -> Path:
+        return self.root / self.cfg.download_dir / "asms" / f"{batch}.tar.xz"
+
+    def merged_fa(self, stem: str) -> Path:
+        return self.inter / "01_queries_merged" / f"{stem}.fa"
+
+    def match_path(self, batch: str, stem: str) -> Path:
+        return self.inter / "03_match" / f"{batch}____{stem}.gz"
+
+    def filter_path(self, stem: str) -> Path:
+        return self.inter / "04_filter" / f"{stem}.fa"
+
+    def map_path(self, batch: str, stem: str) -> Path:
+        return self.inter / "05_map" / f"{batch}____{stem}.sam.gz"
+
+    # --- stage 0+1: preprocess & merge --------------------------------------
+
+    def preprocess(self, inputs: Sequence[str]) -> str:
+        stem, records = normalize_and_merge(inputs)
+        merged = self.merged_fa(stem)
+        if self.manifest.done("merge", stem, [str(merged)]):
+            return stem
+        with benchmark(self.logs, "fix_query", stem):
+            from phylign_tpu.io.fastx import file_stem, normalize_record
+
+            for p in inputs:
+                out0 = (
+                    self.inter / "00_queries_preprocessed" / f"{file_stem(p)}.fa"
+                )
+                with open(out0, "w") as f:
+                    write_fasta(
+                        f, (normalize_record(r) for r in read_fastx_file(p))
+                    )
+            tmp, commit = atomic_write_via(merged)
+            with open(tmp, "w") as f:
+                write_fasta(f, records)
+            commit()
+        self.manifest.mark("merge", stem, [str(merged)])
+        return stem
+
+    # --- stage 2+3: match ----------------------------------------------------
+
+    def match_one_batch(self, batch: str, stem: str) -> Path:
+        out = self.match_path(batch, stem)
+        if self.manifest.done("match", f"{batch}____{stem}", [str(out)]):
+            return out
+        records = list(read_fastx_file(self.merged_fa(stem)))
+        with benchmark(self.logs, "run_cobs", f"{batch}____{stem}"):
+            idx = cobs_io.read_classic_index(self.cobs_path(batch))
+            didx = cobs_io.to_device_index(idx)
+            matches = self._score_batch(didx, records)
+            tmp, commit = atomic_write_via(out)
+            with xopen_write(tmp) as f:
+                write_match_file(f, matches, keep=self.cfg.nb_best_hits)
+            commit()
+        self.manifest.mark("match", f"{batch}____{stem}", [str(out)])
+        return out
+
+    def _score_batch(
+        self, didx: cobs_io.DeviceIndex, records: list[FastxRecord]
+    ) -> list[QueryMatches]:
+        """Score all queries against one batch index, device-chunked."""
+        use_device = didx.num_docs > 0 and len(records) > 0
+        matches: list[QueryMatches] = []
+        if not use_device:
+            return [QueryMatches(r.name, 0, []) for r in records]
+        with self.sched.device_lock:
+            matcher = Matcher.from_device_index(didx)
+            chunk = self.cfg.device_query_chunk
+            names = np.asarray(didx.doc_names)
+            for off in range(0, len(records), chunk):
+                part = records[off : off + chunk]
+                seqs = [r.seq.encode() for r in part]
+                scores, keep, n_kmers = matcher.score(
+                    seqs, self.cfg.cobs_kmer_thres
+                )
+                for i, rec in enumerate(part):
+                    hit_idx = np.nonzero(keep[i])[0]
+                    hits = [
+                        (str(names[d]), int(scores[i, d])) for d in hit_idx
+                    ]
+                    hits.sort(key=lambda x: (-x[1], x[0]))
+                    matches.append(QueryMatches(rec.name, len(hits), hits))
+        return matches
+
+    def match(self, stem: str, batches: list[str] | None = None) -> list[Path]:
+        batches = batches if batches is not None else self.batches()
+        jobs = [
+            Job(
+                name=f"match:{b}",
+                fn=lambda b=b: self.match_one_batch(b, stem),
+                mem_mb=self._index_mem_mb(b),
+                io_heavy=True,
+                priority=999,  # reference: Snakefile:413
+            )
+            for b in batches
+        ]
+        results = self.sched.run(jobs)
+        return [results[f"match:{b}"] for b in batches]
+
+    def _index_mem_mb(self, batch: str) -> int:
+        p = self.cobs_path(batch)
+        try:
+            # xz ratio on these indexes is ~5-8x; reserve decompressed estimate
+            return max(64, int(p.stat().st_size * 8 / 1e6))
+        except OSError:
+            return 256
+
+    # --- stage 4: filter -----------------------------------------------------
+
+    def filter(self, stem: str, batches: list[str] | None = None) -> Path:
+        batches = batches if batches is not None else self.batches()
+        out = self.filter_path(stem)
+        if self.manifest.done("filter", stem, [str(out)]):
+            return out
+        with benchmark(self.logs, "translate_matches", stem):
+            records = list(read_fastx_file(self.merged_fa(stem)))
+            streams = {}
+            for b in batches:
+                f = xopen_read(self.match_path(b, stem))
+                streams[b] = read_match_file(f)
+            filtered = filter_queries(records, streams, self.cfg.nb_best_hits)
+            tmp, commit = atomic_write_via(out)
+            with open(tmp, "w") as f:
+                write_filtered_fasta(f, filtered)
+            commit()
+        self.manifest.mark("filter", stem, [str(out)])
+        return out
+
+    # --- stage 5: align ------------------------------------------------------
+
+    def align_one_batch(
+        self, batch: str, stem: str, accessions: set[str] | None
+    ) -> Path:
+        out = self.map_path(batch, stem)
+        if self.manifest.done("map", f"{batch}____{stem}", [str(out)]):
+            return out
+        with benchmark(self.logs, "batch_align", f"{batch}____{stem}"):
+            queries = read_filtered_fasta(read_fastx_file(self.filter_path(stem)))
+            params = AlignParams()
+            with self.sched.device_lock:
+                records = list(
+                    align_batch(str(self.asms_path(batch)), queries, accessions, params)
+                )
+            tmp, commit = atomic_write_via(out)
+            write_batch_sam(tmp, records)
+            commit()
+        self.manifest.mark("map", f"{batch}____{stem}", [str(out)])
+        return out
+
+    def batch_accessions(self, batch: str) -> set[str] | None:
+        """The batch's accession allow-list from data/661k_batches.txt.xz-style
+        metadata (ref: Snakefile:543-546); None when no metadata is present
+        (tar membership already restricts to the batch's own genomes)."""
+        for name in ("661k_batches.txt.xz", "661k_batches.txt"):
+            p = self.root / "data" / name
+            if p.exists():
+                with xopen_read(p) as f:
+                    for line in f:
+                        parts = line.rstrip("\n").split("\t")
+                        if parts and parts[0] == batch and len(parts) > 1:
+                            return set(parts[1].replace(";", ",").split(","))
+        return None
+
+    def align(self, stem: str, batches: list[str] | None = None) -> list[Path]:
+        batches = batches if batches is not None else self.batches()
+        jobs = [
+            Job(
+                name=f"map:{b}",
+                fn=lambda b=b: self.align_one_batch(
+                    b, stem, self.batch_accessions(b)
+                ),
+                mem_mb=512,
+                io_heavy=True,
+            )
+            for b in batches
+        ]
+        results = self.sched.run(jobs)
+        return [results[f"map:{b}"] for b in batches]
+
+    # --- stage 6: aggregate + stats ------------------------------------------
+
+    def aggregate(self, stem: str, batches: list[str] | None = None) -> Path:
+        batches = batches if batches is not None else self.batches()
+        out = self.out / f"{stem}.sam_summary.gz"
+        with benchmark(self.logs, "aggregate_sams", stem):
+            tmp, commit = atomic_write_via(out)
+            aggregate_sams(tmp, [self.map_path(b, stem) for b in batches])
+            commit()
+        return out
+
+    def stats(self, stem: str) -> Path:
+        out = self.out / f"{stem}.sam_summary.stats"
+        with benchmark(self.logs, "final_stats", stem):
+            st = compute_stats(
+                self.out / f"{stem}.sam_summary.gz", self.merged_fa(stem)
+            )
+            tmp, commit = atomic_write_via(out)
+            tmp.write_text(st.to_tsv())
+            commit()
+        return out
+
+    # --- full run ------------------------------------------------------------
+
+    def run_all(self, inputs: Sequence[str]) -> Path:
+        """download'd data assumed present; runs match+map end to end
+        (the reference's `make all` minus download: Makefile:35-38)."""
+        batches = self.batches()
+        stem = self.preprocess(inputs)
+        with benchmark(self.logs, "match_total", stem):
+            self.match(stem, batches)
+            self.filter(stem, batches)
+        with benchmark(self.logs, "map_total", stem):
+            self.align(stem, batches)
+            self.aggregate(stem, batches)
+            self.stats(stem)
+        return self.out / f"{stem}.sam_summary.gz"
