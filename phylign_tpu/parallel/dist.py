@@ -1,0 +1,162 @@
+"""Sharded match / top-k / align: the distributed compute path.
+
+Design (SURVEY.md sections 2c.7, 5 "distributed communication backend"):
+  * The Bloom bit-matrix's word columns are sharded over the "d" mesh axis.
+    Scoring needs NO communication: every shard gathers k-mer rows of its own
+    column slice and scores its own documents.
+  * The filter's global top-k is the one real collective: local top-K per
+    shard, all-gather of (value, global-doc-id) over "d", re-top-K. K =
+    nb_best_hits + TIE_SLACK extra slots so ties at the cutoff survive the
+    fixed shape; the host finalizes exact tie semantics from the returned
+    scores (overflow beyond the slack is detectable: last kept value ==
+    cutoff value).
+  * Chaining/extension are embarrassingly data-parallel over "q".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.6 public API
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    # check_vma=False: kernel bodies create fresh carries (zeros) that the
+    # varying-manual-axes checker would otherwise flag against sharded inputs
+    try:
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # pragma: no cover - older jax spelling
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+
+from phylign_tpu.ops.chain import chain_anchors
+from phylign_tpu.ops.extend import SrScoring, extend_banded
+from phylign_tpu.ops.match import match_scores_xla
+from phylign_tpu.parallel.mesh import AXIS_DOC, AXIS_QUERY
+
+TIE_SLACK = 28
+
+
+def dist_match_scores(mesh, words, row_idx):
+    """Sharded scoring: words [S+1, Wp] sharded over 'd' columns, row_idx
+    [Q, K, H] sharded over 'q'. Returns scores [Q, 32*Wp] sharded (q, d).
+    Zero communication."""
+
+    def step(words_loc, rows_loc):
+        return match_scores_xla(words_loc, rows_loc)
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=(P(None, AXIS_DOC), P(AXIS_QUERY, None, None)),
+        out_specs=P(AXIS_QUERY, AXIS_DOC),
+    )(words, row_idx)
+
+
+def dist_topk(mesh, scores, n_best):
+    """Global per-query top-K across doc shards.
+
+    scores: [Q, D] sharded (q, d). Returns (values [Q, K], global doc ids
+    [Q, K]) replicated over 'd', sharded over 'q'. K = n_best + TIE_SLACK.
+    """
+    k = n_best + TIE_SLACK
+
+    def step(s_loc):
+        kl = min(k, s_loc.shape[1])
+        v, i = jax.lax.top_k(s_loc, kl)
+        d_idx = jax.lax.axis_index(AXIS_DOC)
+        gi = i + d_idx * s_loc.shape[1]
+        vg = jax.lax.all_gather(v, AXIS_DOC, axis=1, tiled=True)
+        ig = jax.lax.all_gather(gi, AXIS_DOC, axis=1, tiled=True)
+        kk = min(k, vg.shape[1])
+        v2, sel = jax.lax.top_k(vg, kk)
+        i2 = jnp.take_along_axis(ig, sel, axis=1)
+        return v2, i2
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=(P(AXIS_QUERY, AXIS_DOC),),
+        out_specs=(P(AXIS_QUERY, None), P(AXIS_QUERY, None)),
+    )(scores)
+
+
+def dist_chain(mesh, rpos, qpos, **kw):
+    """Chain DP data-parallel over 'q' (pairs axis)."""
+
+    def step(r, q):
+        return chain_anchors(r, q, **kw)
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=(P(AXIS_QUERY, None), P(AXIS_QUERY, None)),
+        out_specs=P(AXIS_QUERY),
+    )(rpos, qpos)
+
+
+def dist_extend(mesh, q_codes, q_len, rwin, rvalid, scoring=SrScoring()):
+    """Banded extension data-parallel over 'q' (pairs axis)."""
+
+    def step(qc, ql, rw, rv):
+        return extend_banded(qc, ql, rw, rv, scoring=scoring)
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=(
+            P(AXIS_QUERY, None),
+            P(AXIS_QUERY),
+            P(AXIS_QUERY, None),
+            P(AXIS_QUERY, None),
+        ),
+        out_specs=P(AXIS_QUERY),
+    )(q_codes, q_len, rwin, rvalid)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "threshold", "n_best"))
+def full_step(
+    mesh,
+    words,
+    row_idx,
+    n_kmers,
+    q_codes,
+    q_len,
+    rwin,
+    rvalid,
+    anchors_r,
+    anchors_q,
+    threshold: float = 0.7,
+    n_best: int = 100,
+):
+    """The framework's full sharded compute step, jitted as one program:
+    match (tp over doc columns) -> threshold mask -> distributed top-k
+    (collective over 'd') -> chain + banded extension (dp over 'q').
+
+    This is what dryrun_multichip compiles and executes on an N-device mesh.
+    """
+    scores = dist_match_scores(mesh, words, row_idx)
+    topv, topi = dist_topk(mesh, scores, n_best)
+    cut = threshold * jnp.maximum(n_kmers, 1).astype(jnp.float32)
+    top_keep = topv.astype(jnp.float32) >= cut[:, None]
+    chain_res = dist_chain(mesh, anchors_r, anchors_q)
+    ext = dist_extend(mesh, q_codes, q_len, rwin, rvalid)
+    return {
+        "scores": scores,
+        "top_values": topv,
+        "top_doc_ids": topi,
+        "top_keep": top_keep,
+        "chain_score": chain_res.score,
+        "chain_count": chain_res.count,
+        "align_score": ext.score,
+    }

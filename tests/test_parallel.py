@@ -1,0 +1,71 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from phylign_tpu.ops.match import match_scores_xla
+from phylign_tpu.parallel import dist, mesh as meshmod
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return meshmod.make_mesh(4, 2)
+
+
+def make_inputs(rng, S=512, WP=8 * 4, Q=16, K=32):
+    words = np.zeros((S + 1, WP), np.uint32)
+    words[:S] = rng.integers(0, 2**32, (S, WP), dtype=np.uint32)
+    rows = rng.integers(0, S, (Q, K, 1)).astype(np.int32)
+    return jnp.asarray(words), jnp.asarray(rows)
+
+
+class TestDistMatch:
+    def test_matches_single_device(self, mesh8):
+        rng = np.random.default_rng(0)
+        words, rows = make_inputs(rng)
+        got = dist.dist_match_scores(mesh8, words, rows)
+        want = match_scores_xla(words, rows)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_topk_global(self, mesh8):
+        rng = np.random.default_rng(1)
+        words, rows = make_inputs(rng)
+        scores = dist.dist_match_scores(mesh8, words, rows)
+        topv, topi = dist.dist_topk(mesh8, scores, n_best=4)
+        s = np.asarray(match_scores_xla(words, rows))
+        k = 4 + dist.TIE_SLACK
+        for q in range(s.shape[0]):
+            order = np.argsort(-s[q], kind="stable")
+            want_v = s[q][order][:k]
+            np.testing.assert_array_equal(np.asarray(topv[q]), want_v)
+            # returned global ids must realize the same score multiset
+            np.testing.assert_array_equal(
+                np.sort(s[q][np.asarray(topi[q])]), np.sort(want_v)
+            )
+
+    def test_full_step_runs(self, mesh8):
+        rng = np.random.default_rng(2)
+        words, rows = make_inputs(rng, Q=16)
+        n_kmers = jnp.full(16, 32, jnp.int32)
+        P, L = 16, 64
+        from phylign_tpu.ops.extend import BAND
+
+        q_codes = jnp.asarray(rng.integers(0, 4, (P, L)).astype(np.uint8))
+        q_len = jnp.full(P, L, jnp.int32)
+        rwin = jnp.asarray(rng.integers(0, 4, (P, L + BAND)).astype(np.uint8))
+        rvalid = jnp.ones((P, L + BAND), bool)
+        anchors_q = jnp.asarray(
+            np.tile(np.arange(0, 64, 8, np.int32), (P, 1))
+        )
+        anchors_r = anchors_q + 100
+        out = dist.full_step(
+            mesh8, words, rows, n_kmers, q_codes, q_len, rwin, rvalid,
+            anchors_r, anchors_q,
+        )
+        assert out["scores"].shape == (16, words.shape[1] * 32)
+        assert out["top_values"].shape[0] == 16
+        assert out["chain_count"].shape == (16,)
+        assert out["align_score"].shape == (16,)
+        assert int(out["chain_count"][0]) == 8  # colinear anchors all chain
