@@ -214,7 +214,15 @@ def cobs_row_indices(
     ``XXH64(canonical_kmer_ascii, seed=h) % signature_size`` — bit-exact with
     cobs 0.2.1 term hashing as driven by ``cobs query``
     (ref behavior contract: /root/reference/Snakefile:419-427).
+
+    Uses the native C++ path (phylign_tpu.native) when available; the numpy
+    path below is the portable fallback and test oracle.
     """
+    from phylign_tpu import native
+
+    nat = native.native_cobs_row_indices(codes, k, signature_size, num_hashes)
+    if nat is not None:
+        return nat
     kmers = canonical_kmers_ascii(codes, k)
     npos = kmers.shape[0]
     out = np.empty((npos, num_hashes), dtype=np.int64)

@@ -1,0 +1,223 @@
+// Native host-side kernels for phylign-tpu.
+//
+// The reference delegates all host hot loops to native binaries (COBS C++,
+// minimap2 C, seqtk C; SURVEY.md section 2b). This library is the TPU
+// build's native host layer: the CPU-bound preprocessing that feeds the
+// device kernels —
+//   * 2-bit DNA encoding (seqtk-equivalent normalization),
+//   * canonical 31-mer XXH64 Bloom-row hashing (cobs-compatible: XXH64 of
+//     the ASCII canonical k-mer, seed = hash index, mod signature size),
+//   * minimizer sketching (minimap2-sr style: packed canonical k-mer,
+//     hash64 finalizer, w-window minima with ties).
+// Exposed with a plain C ABI for ctypes (phylign_tpu/native/__init__.py);
+// numpy implementations remain as the portable fallback and test oracle.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- xxhash64
+// XXH64 (Yann Collet's xxHash, public domain algorithm), transliterated from
+// the specification.
+
+static const uint64_t P1 = 0x9E3779B185EBCA87ULL;
+static const uint64_t P2 = 0xC2B2AE3D27D4EB4FULL;
+static const uint64_t P3 = 0x165667B19E3779F9ULL;
+static const uint64_t P4 = 0x85EBCA77C2B2AE63ULL;
+static const uint64_t P5 = 0x27D4EB2F165667C5ULL;
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+  return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t xxh_round(uint64_t acc, uint64_t lane) {
+  acc += lane * P2;
+  acc = rotl64(acc, 31);
+  return acc * P1;
+}
+
+static inline uint64_t xxh_merge(uint64_t acc, uint64_t v) {
+  acc ^= xxh_round(0, v);
+  return acc * P1 + P4;
+}
+
+static inline uint64_t read_u64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;  // little-endian hosts only (x86_64 / aarch64)
+}
+
+static inline uint32_t read_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+uint64_t xxh64(const uint8_t* data, uint64_t len, uint64_t seed) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  uint64_t h;
+  if (len >= 32) {
+    uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* limit = end - 32;
+    do {
+      v1 = xxh_round(v1, read_u64(p)); p += 8;
+      v2 = xxh_round(v2, read_u64(p)); p += 8;
+      v3 = xxh_round(v3, read_u64(p)); p += 8;
+      v4 = xxh_round(v4, read_u64(p)); p += 8;
+    } while (p <= limit);
+    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+    h = xxh_merge(h, v1); h = xxh_merge(h, v2);
+    h = xxh_merge(h, v3); h = xxh_merge(h, v4);
+  } else {
+    h = seed + P5;
+  }
+  h += len;
+  while (p + 8 <= end) {
+    h ^= xxh_round(0, read_u64(p));
+    h = rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= (uint64_t)read_u32(p) * P1;
+    h = rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (uint64_t)(*p) * P5;
+    h = rotl64(h, 11) * P1;
+    p++;
+  }
+  h ^= h >> 33; h *= P2;
+  h ^= h >> 29; h *= P3;
+  h ^= h >> 32;
+  return h;
+}
+
+// ------------------------------------------------------------- DNA encoding
+
+// ASCII -> 2-bit code, non-ACGT -> A(0). Matches kmer.CODE_OF_ASCII.
+void encode_seq(const uint8_t* ascii, int64_t n, uint8_t* out) {
+  static uint8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    std::memset(lut, 0, sizeof(lut));
+    lut['A'] = lut['a'] = 0; lut['C'] = lut['c'] = 1;
+    lut['G'] = lut['g'] = 2; lut['T'] = lut['t'] = 3;
+    init = true;
+  }
+  for (int64_t i = 0; i < n; i++) out[i] = lut[ascii[i]];
+}
+
+// ------------------------------------------- COBS canonical k-mer row hashes
+
+// For every k-mer position: canonicalize (lexicographically smaller of the
+// ASCII k-mer vs its reverse complement), hash with XXH64(seed=h) for each
+// hash function, mod signature_size. out is [n_pos * num_hashes] int64.
+// Returns n_pos.
+int64_t cobs_row_indices(const uint8_t* codes, int64_t len, int32_t k,
+                         uint64_t signature_size, int32_t num_hashes,
+                         int64_t* out) {
+  static const char ASCII[4] = {'A', 'C', 'G', 'T'};
+  int64_t n_pos = len - k + 1;
+  if (n_pos <= 0) return 0;
+  std::vector<uint8_t> fwd(k), rc(k);
+  for (int64_t p = 0; p < n_pos; p++) {
+    for (int32_t j = 0; j < k; j++) {
+      fwd[j] = ASCII[codes[p + j]];
+      rc[j] = ASCII[3 - codes[p + k - 1 - j]];
+    }
+    const uint8_t* canon = fwd.data();
+    if (std::memcmp(rc.data(), fwd.data(), k) < 0) canon = rc.data();
+    for (int32_t h = 0; h < num_hashes; h++) {
+      out[p * num_hashes + h] =
+          (int64_t)(xxh64(canon, (uint64_t)k, (uint64_t)h) % signature_size);
+    }
+  }
+  return n_pos;
+}
+
+// --------------------------------------------------------------- minimizers
+
+static inline uint64_t mm_hash64(uint64_t x, uint64_t mask) {
+  x = (~x + (x << 21)) & mask;
+  x ^= x >> 24;
+  x = (x + (x << 3) + (x << 8)) & mask;
+  x ^= x >> 14;
+  x = (x + (x << 2) + (x << 4)) & mask;
+  x ^= x >> 28;
+  x = (x + (x << 31)) & mask;
+  return x;
+}
+
+// Minimizer sketch matching ops/minimizer.py: position i is selected iff its
+// scrambled canonical-packing hash is the min of >= 1 w-window covering it
+// (ties kept; strand-symmetric k-mers skipped). Writes up to n_pos entries;
+// returns the count.
+int64_t minimizers(const uint8_t* codes, int64_t len, int32_t k, int32_t w,
+                   uint64_t* out_hash, int32_t* out_pos, uint8_t* out_strand) {
+  int64_t n = len - k + 1;
+  if (n <= 0) return 0;
+  if (n < w) w = (int32_t)n;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  const uint64_t INF = ~0ULL;
+
+  std::vector<uint64_t> h((size_t)n);
+  std::vector<uint8_t> strand((size_t)n);
+  uint64_t f = 0, r = 0;
+  const int shift = 2 * (k - 1);
+  for (int64_t i = 0; i < len; i++) {
+    uint64_t c = codes[i];
+    f = ((f << 2) | c) & mask;
+    r = (r >> 2) | ((3ULL - c) << shift);
+    if (i >= k - 1) {
+      int64_t p = i - k + 1;
+      if (f == r) {
+        h[p] = INF;  // strand-symmetric: never selected
+        strand[p] = 0;
+      } else if (r < f) {
+        h[p] = mm_hash64(r, mask);
+        strand[p] = 1;
+      } else {
+        h[p] = mm_hash64(f, mask);
+        strand[p] = 0;
+      }
+    }
+  }
+
+  // sliding-window minima (monotone deque), then mark ties per window
+  std::vector<uint8_t> sel((size_t)n, 0);
+  std::vector<int64_t> deque((size_t)n);
+  int64_t qh = 0, qt = 0;  // deque [qh, qt)
+  for (int64_t i = 0; i < n; i++) {
+    while (qt > qh && h[deque[qt - 1]] > h[i]) qt--;
+    deque[qt++] = i;
+    int64_t win_start = i - w + 1;
+    if (deque[qh] < win_start) qh++;
+    if (win_start >= 0) {
+      uint64_t m = h[deque[qh]];
+      if (m != INF) {
+        // mark every position in the window achieving the min
+        for (int64_t j = qh; j < qt; j++) {
+          if (h[deque[j]] == m) sel[deque[j]] = 1;
+          else break;  // deque is increasing: later entries are larger
+        }
+      }
+    }
+  }
+
+  int64_t cnt = 0;
+  for (int64_t p = 0; p < n; p++) {
+    if (sel[p]) {
+      out_hash[cnt] = h[p];
+      out_pos[cnt] = (int32_t)p;
+      out_strand[cnt] = strand[p];
+      cnt++;
+    }
+  }
+  return cnt;
+}
+
+}  // extern "C"

@@ -72,7 +72,15 @@ def minimizers(
 
     Returns (hashes u64[M], positions int32[M], strand u8[M]) sorted by
     position; strand 0 = canonical k-mer is the forward packing.
+
+    Uses the native C++ path (phylign_tpu.native) when available; the numpy
+    path below is the portable fallback and test oracle.
     """
+    from phylign_tpu import native
+
+    nat = native.native_minimizers(codes, k, w)
+    if nat is not None:
+        return nat
     fwd, rc = packed_kmers(codes, k)
     n = fwd.shape[0]
     if n == 0:

@@ -1,0 +1,83 @@
+"""Native C++ host library vs the numpy oracle implementations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from phylign_tpu import kmer, native
+from phylign_tpu.ops import minimizer as opm
+
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="native library unavailable"
+)
+
+
+def numpy_row_indices(codes, k, sig, h):
+    """Force the numpy fallback path."""
+    kmers = kmer.canonical_kmers_ascii(codes, k)
+    out = np.empty((kmers.shape[0], h), np.int64)
+    for i in range(h):
+        out[:, i] = (
+            kmer.xxh64_batch(np.ascontiguousarray(kmers), i) % np.uint64(sig)
+        ).astype(np.int64)
+    return out
+
+
+class TestNativeParity:
+    def test_xxh64(self):
+        rng = np.random.default_rng(0)
+        for n in [0, 1, 5, 31, 32, 100]:
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            for seed in [0, 1, 7]:
+                assert native.native_xxh64(data, seed) == kmer.xxh64(data, seed)
+
+    def test_cobs_row_indices(self):
+        rng = np.random.default_rng(1)
+        codes = rng.integers(0, 4, 500, dtype=np.uint8)
+        for h in (1, 3):
+            got = native.native_cobs_row_indices(codes, 31, 999983, h)
+            want = numpy_row_indices(codes, 31, 999983, h)
+            np.testing.assert_array_equal(got, want)
+
+    def test_minimizers(self):
+        rng = np.random.default_rng(2)
+        for n in [10, 25, 150, 5000]:
+            codes = rng.integers(0, 4, n, dtype=np.uint8)
+            gh, gp, gs = native.native_minimizers(codes, 21, 11)
+            # numpy fallback path:
+            fwd, rc = opm.packed_kmers(codes, 21)
+            if fwd.shape[0] == 0:
+                assert len(gp) == 0
+                continue
+            strand = (rc < fwd).astype(np.uint8)
+            amb = fwd == rc
+            canon = np.where(strand == 1, rc, fwd)
+            h = opm._hash64(canon, np.uint64((1 << 42) - 1))
+            h[amb] = np.iinfo(np.uint64).max
+            nn = fwd.shape[0]
+            w = min(11, nn)
+            hw = np.lib.stride_tricks.sliding_window_view(h, w)
+            swm = hw.min(axis=1)
+            sel = np.zeros(nn, bool)
+            for d in range(w):
+                idx = np.arange(nn - w + 1) + d
+                sel[idx] |= h[idx] == swm
+            sel &= ~amb
+            wp = np.nonzero(sel)[0]
+            np.testing.assert_array_equal(gp, wp.astype(np.int32))
+            np.testing.assert_array_equal(gh, h[wp])
+            np.testing.assert_array_equal(gs, strand[wp])
+
+    def test_env_disable(self, monkeypatch):
+        monkeypatch.setenv("PHYLIGN_TPU_NO_NATIVE", "1")
+        # get_lib caches; call the wrapper which checks env each time
+        import phylign_tpu.native as nat
+
+        old = nat._lib
+        nat._lib = None
+        try:
+            assert nat.get_lib() is None
+        finally:
+            nat._lib = old
