@@ -114,43 +114,49 @@ def _cigar_str(cig: list[tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cig)
 
 
-def align_genome(
-    rname: str,
-    contigs: list[tuple[str, np.ndarray]],
-    sketches: Sequence[QuerySketch],
-    params: AlignParams,
-) -> list[SamRecord]:
-    """Align the given queries to one genome; one record per query
-    (mapped primary or unmapped), in query order."""
-    if not sketches:
-        return []
-    ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+@dataclass
+class PairTask:
+    """One (query, genome) pair awaiting device chaining/extension."""
 
-    # anchors for both strands of every pair
+    sketch: QuerySketch
+    ref: opm.RefIndex
+    plus: opm.Anchors
+    minus: opm.Anchors
+
+
+def make_pair(ref: opm.RefIndex, sk: QuerySketch, params: AlignParams) -> PairTask:
+    plus, minus = opm.collect_anchors(
+        ref, sk.mh, sk.mp, sk.ms, len(sk.codes), params.max_occ
+    )
+    return PairTask(sk, ref, plus, minus)
+
+
+def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
+    """Chain + extend a pool of pairs (possibly spanning many genomes) as
+    fixed-shape device batches; emit one record per pair in pool order."""
+    if not tasks:
+        return []
     anchor_sets: list[opm.Anchors] = []
-    meta: list[tuple[int, int]] = []  # (query idx, strand 0/1)
-    for qi, sk in enumerate(sketches):
-        plus, minus = opm.collect_anchors(
-            ref, sk.mh, sk.mp, sk.ms, len(sk.codes), params.max_occ
-        )
-        for strand, an in ((0, plus), (1, minus)):
+    meta: list[tuple[int, int]] = []  # (pair idx, strand)
+    for ti, t in enumerate(tasks):
+        for strand, an in ((0, t.plus), (1, t.minus)):
             if len(an.rpos) > 0:
                 anchor_sets.append(an)
-                meta.append((qi, strand))
+                meta.append((ti, strand))
 
     best: dict[int, tuple[float, int, int, int, int, int, float]] = {}
-    # qi -> (score, strand, qs, qe, rs, re, s2)
+    # ti -> (score, strand, qs, qe, rs, re, s2)
     if anchor_sets:
         res = _chain_pairs(anchor_sets, params)
-        for i, (qi, strand) in enumerate(meta):
+        for i, (ti, strand) in enumerate(meta):
             sc = float(res.score[i])
             cnt = int(res.count[i])
             if cnt < params.min_chain_cnt or sc < params.min_chain_score:
                 continue
-            prev = best.get(qi)
+            prev = best.get(ti)
             if prev is None or sc > prev[0]:
                 s2 = prev[0] if prev is not None else 0.0
-                best[qi] = (
+                best[ti] = (
                     sc,
                     strand,
                     int(res.qs[i]),
@@ -160,14 +166,13 @@ def align_genome(
                     s2,
                 )
             else:
-                old = best[qi]
-                best[qi] = old[:6] + (max(old[6], sc),)
+                old = best[ti]
+                best[ti] = old[:6] + (max(old[6], sc),)
 
-    # build extension batch for chained pairs
     chained = sorted(best.items())
     records: dict[int, SamRecord] = {}
     if chained:
-        lmax = _round_up(max(len(s.codes) for s in sketches), 32)
+        lmax = _round_up(max(len(t.sketch.codes) for t in tasks), 32)
         p = _bucket_pairs(len(chained))
         q_codes = np.zeros((p, lmax), np.uint8)
         q_len = np.zeros(p, np.int32)
@@ -175,9 +180,10 @@ def align_genome(
         rvalid = np.zeros((p, lmax + ope.BAND), bool)
         w0s, contig_ids = [], []
         half = ope.BAND // 2
-        for i, (qi, (sc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
-            sk = sketches[qi]
-            codes = sk.rc_codes if strand else sk.codes
+        for i, (ti, (sc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
+            t = tasks[ti]
+            ref = t.ref
+            codes = t.sketch.rc_codes if strand else t.sketch.codes
             q_codes[i, : len(codes)] = codes
             q_len[i] = len(codes)
             w0 = (rs - qs) - half
@@ -203,8 +209,9 @@ def align_genome(
         scores = np.asarray(ext.score)
         end_ds = np.asarray(ext.end_d)
 
-        for i, (qi, (csc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
-            sk = sketches[qi]
+        for i, (ti, (csc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
+            t = tasks[ti]
+            sk, ref = t.sketch, t.ref
             dp_score = float(scores[i])
             if dp_score < params.scoring.min_dp_score:
                 continue
@@ -213,7 +220,6 @@ def align_genome(
                 p_planes[i], q_codes[i], qlen, rwin[i], int(end_ds[i]), params.scoring
             )
             cig = _soft_clip_ends(cig)
-            # POS: first ref-consuming op; leading S consumes neither
             gstart = w0s[i] + start_d
             c = contig_ids[i]
             pos = gstart - int(ref.contig_starts[c]) + 1
@@ -225,10 +231,8 @@ def align_genome(
             blen = n_eq + n_x + n_i + n_d
             de = round(nm / max(1, blen), 4)
             mapq = _mapq(csc, s2)
-            seq = (
-                decode_seq(sk.rc_codes).decode() if strand else sk.seq
-            )
-            records[qi] = SamRecord(
+            seq = decode_seq(sk.rc_codes).decode() if strand else sk.seq
+            records[ti] = SamRecord(
                 qname=sk.name,
                 flag=16 if strand else 0,
                 rname=ref.contig_names[c],
@@ -251,9 +255,23 @@ def align_genome(
             )
 
     out = []
-    for qi, sk in enumerate(sketches):
-        out.append(records.get(qi) or unmapped_record(sk.name, sk.seq))
+    for ti, t in enumerate(tasks):
+        out.append(records.get(ti) or unmapped_record(t.sketch.name, t.sketch.seq))
     return out
+
+
+def align_genome(
+    rname: str,
+    contigs: list[tuple[str, np.ndarray]],
+    sketches: Sequence[QuerySketch],
+    params: AlignParams,
+) -> list[SamRecord]:
+    """Align the given queries to one genome; one record per query
+    (mapped primary or unmapped), in query order."""
+    if not sketches:
+        return []
+    ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+    return flush_pairs([make_pair(ref, sk, params) for sk in sketches], params)
 
 
 def _mapq(s1: float, s2: float) -> int:
@@ -286,11 +304,17 @@ def align_batch(
                 continue
             rname_to_q.setdefault(acc, []).append(qi)
 
+    pool: list[PairTask] = []
+    pair_chunk = 1024
     for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
-        sks = []
+        ref = opm.build_ref_index(rname, contigs, params.k, params.w)
         for qi in rname_to_q[rname]:
             if qi not in sketch_cache:
                 fq = queries[qi]
                 sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
-            sks.append(sketch_cache[qi])
-        yield from align_genome(rname, contigs, sks, params)
+            pool.append(make_pair(ref, sketch_cache[qi], params))
+        # flush pooled pairs (spanning genomes) once the device batch is full
+        if len(pool) >= pair_chunk:
+            yield from flush_pairs(pool, params)
+            pool = []
+    yield from flush_pairs(pool, params)

@@ -79,41 +79,35 @@ def pack_row_indices(
 # --- XLA reference implementation -------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k_chunk",))
-def match_scores_xla(
-    words: jax.Array, row_idx: jax.Array, k_chunk: int = 8
-) -> jax.Array:
+@jax.jit
+def match_scores_xla(words: jax.Array, row_idx: jax.Array) -> jax.Array:
     """Gather + vertical popcount in pure jnp.
 
     words: uint32 [S+1, Wp]; row_idx: int32 [Q, K] or [Q, K, H].
     Returns int32 [Q, 32*Wp] (doc d at index (d//32)*32 + d%32 == d).
+
+    Written as one unchunked expression on purpose: XLA fuses the shift/mask
+    unpack and the K-reduction into the gather consumer, so the [Q,K,Wp,32]
+    intermediate never materializes. (A lax.scan over K-chunks measured ~50%
+    slower — the scan boundary blocks that fusion.) Callers bound Q via
+    config.device_query_chunk.
     """
     if row_idx.ndim == 2:
         row_idx = row_idx[..., None]
     q, k, h = row_idx.shape
     wp = words.shape[1]
+    g = words[row_idx]  # [Q, K, H, Wp] uint32
+    if h > 1:
+        a = g[:, :, 0, :]
+        for j in range(1, h):
+            a = a & g[:, :, j, :]
+        g = a
+    else:
+        g = g[:, :, 0, :]
     shifts = jnp.arange(32, dtype=jnp.uint32)
-
-    def body(acc, idx_chunk):
-        # idx_chunk: [Q, k_chunk, H]
-        g = words[idx_chunk]  # [Q, kc, H, Wp] uint32
-        g = jax.lax.reduce(
-            g, np.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(2,)
-        )  # AND over hashes -> [Q, kc, Wp]
-        bits = (g[..., None] >> shifts) & jnp.uint32(1)  # [Q, kc, Wp, 32]
-        acc = acc + bits.astype(jnp.int32).sum(axis=1)  # [Q, Wp, 32]
-        return acc, None
-
-    n_chunks = (k + k_chunk - 1) // k_chunk
-    pad = n_chunks * k_chunk - k
-    if pad:
-        # pad with the zero row (index S = words.shape[0]-1)
-        fill = jnp.full((q, pad, h), words.shape[0] - 1, row_idx.dtype)
-        row_idx = jnp.concatenate([row_idx, fill], axis=1)
-    chunks = row_idx.reshape(q, n_chunks, k_chunk, h).transpose(1, 0, 2, 3)
-    acc0 = jnp.zeros((q, wp, 32), dtype=jnp.int32)
-    acc, _ = jax.lax.scan(body, acc0, chunks)
-    # [Q, Wp, 32] -> [Q, Wp*32] with doc d at w*32 + b
+    bits = (g[..., None] >> shifts) & jnp.uint32(1)  # [Q, K, Wp, 32]
+    acc = bits.astype(jnp.int32).sum(axis=1)  # [Q, Wp, 32]
+    # doc d lives at (w=d//32)*32 + (b=d%32)
     return acc.reshape(q, wp * 32)
 
 

@@ -138,8 +138,7 @@ class Pipeline:
             return out
         records = list(read_fastx_file(self.merged_fa(stem)))
         with benchmark(self.logs, "run_cobs", f"{batch}____{stem}"):
-            idx = cobs_io.read_classic_index(self.cobs_path(batch))
-            didx = cobs_io.to_device_index(idx)
+            didx = self._load_index(batch)
             matches = self._score_batch(didx, records)
             tmp, commit = atomic_write_via(out)
             with xopen_write(tmp) as f:
@@ -147,6 +146,49 @@ class Pipeline:
             commit()
         self.manifest.mark("match", f"{batch}____{stem}", [str(out)])
         return out
+
+    def _decompression_dir(self) -> Path:
+        # reference default: intermediate/02_cobs_decompressed
+        # (config.yaml:131-138, Snakefile:124-175)
+        if self.cfg.decompression_dir:
+            return self.root / self.cfg.decompression_dir
+        return self.inter / "02_cobs_decompressed"
+
+    def _load_index(self, batch: str) -> cobs_io.DeviceIndex:
+        """Honor the reference's index_load_mode semantics
+        (config.yaml:96-110):
+          mem-stream  decode xz straight into the in-RAM device repack;
+          mem-disk    cache the device-format index on disk, load fully;
+          mmap-disk   cache on disk, memmap word rows on demand.
+        The on-disk cache is the repacked device format (not raw cobs) — the
+        decompressed artifact the reference would cache, already in the
+        layout the device consumes."""
+        mode = self.cfg.index_load_mode
+        if mode == "mem-stream":
+            idx = cobs_io.read_classic_index(self.cobs_path(batch))
+            return cobs_io.to_device_index(idx)
+        if mode not in ("mem-disk", "mmap-disk"):
+            raise ValueError(f"unknown index_load_mode: {mode}")
+        cache = self._decompression_dir() / batch
+        if not (cache / "meta.json").exists():
+            idx = cobs_io.read_classic_index(self.cobs_path(batch))
+            didx = cobs_io.to_device_index(idx)
+            cobs_io.save_device_index(cache, didx)
+            del idx
+        return cobs_io.load_device_index(cache, mmap=(mode == "mmap-disk"))
+
+    def drop_index_cache(self, batch: str | None = None) -> None:
+        """Remove cached decompressed indexes (keep_cobs_indexes=False
+        semantics, config.yaml:131-134)."""
+        import shutil
+
+        d = self._decompression_dir()
+        if not d.exists():
+            return
+        targets = [d / batch] if batch else list(d.iterdir())
+        for t in targets:
+            if t.is_dir():
+                shutil.rmtree(t)
 
     def _score_batch(
         self, didx: cobs_io.DeviceIndex, records: list[FastxRecord]
@@ -191,12 +233,32 @@ class Pipeline:
         return [results[f"match:{b}"] for b in batches]
 
     def _index_mem_mb(self, batch: str) -> int:
+        """Decompressed-size RAM reservation for the scheduler, from
+        data/decompressed_indexes_sizes.txt when present (the reference's
+        RAM-aware scheduling input, Snakefile:41-82), else estimated from
+        the xz size."""
+        sizes = self._index_sizes()
+        if batch in sizes:
+            return max(64, int(sizes[batch] / 1e6))
         p = self.cobs_path(batch)
         try:
             # xz ratio on these indexes is ~5-8x; reserve decompressed estimate
             return max(64, int(p.stat().st_size * 8 / 1e6))
         except OSError:
             return 256
+
+    def _index_sizes(self) -> dict[str, int]:
+        if not hasattr(self, "_index_sizes_cache"):
+            table: dict[str, int] = {}
+            p = self.root / "data" / "decompressed_indexes_sizes.txt"
+            if p.exists():
+                for line in p.read_text().splitlines():
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        name = Path(parts[0]).name.replace(".cobs_classic.xz", "")
+                        table[name] = int(parts[1])
+            self._index_sizes_cache = table
+        return self._index_sizes_cache
 
     # --- stage 4: filter -----------------------------------------------------
 
