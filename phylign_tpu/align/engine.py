@@ -131,6 +131,101 @@ def make_pair(ref: opm.RefIndex, sk: QuerySketch, params: AlignParams) -> PairTa
     return PairTask(sk, ref, plus, minus)
 
 
+MAX_EXT_CELLS = 1 << 20  # bound on P * L per extension call (plane ~512 MB)
+
+
+def _extend_chunk(
+    tasks: list[PairTask],
+    items: list[tuple[int, tuple]],
+    lmax: int,
+    params: AlignParams,
+) -> dict[int, SamRecord]:
+    """Banded extension + traceback for one length-bucketed chunk of chained
+    pairs. items: [(task idx, (score, strand, qs, qe, rs, re, s2))]."""
+    records: dict[int, SamRecord] = {}
+    p = _bucket_pairs(len(items))
+    q_codes = np.zeros((p, lmax), np.uint8)
+    q_len = np.zeros(p, np.int32)
+    rwin = np.zeros((p, lmax + ope.BAND), np.uint8)
+    rvalid = np.zeros((p, lmax + ope.BAND), bool)
+    w0s, contig_ids = [], []
+    half = ope.BAND // 2
+    for i, (ti, (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+        t = tasks[ti]
+        ref = t.ref
+        codes = t.sketch.rc_codes if strand else t.sketch.codes
+        q_codes[i, : len(codes)] = codes
+        q_len[i] = len(codes)
+        w0 = (rs - qs) - half
+        idx = w0 + np.arange(lmax + ope.BAND)
+        c, _ = ref.contig_of(max(0, min(rs, len(ref.codes) - 1)))
+        c_start = int(ref.contig_starts[c])
+        c_end = c_start + int(ref.contig_lens[c])
+        ok = (idx >= c_start) & (idx < c_end)
+        rwin[i] = ref.codes[np.clip(idx, 0, len(ref.codes) - 1)]
+        rwin[i][~ok] = 0
+        rvalid[i] = ok
+        w0s.append(w0)
+        contig_ids.append(c)
+
+    ext = ope.extend_banded(
+        jnp.asarray(q_codes),
+        jnp.asarray(q_len),
+        jnp.asarray(rwin),
+        jnp.asarray(rvalid),
+        scoring=params.scoring,
+    )
+    p_planes = np.asarray(ext.p_plane)
+    scores = np.asarray(ext.score)
+    end_ds = np.asarray(ext.end_d)
+
+    for i, (ti, (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+        t = tasks[ti]
+        sk, ref = t.sketch, t.ref
+        dp_score = float(scores[i])
+        if dp_score < params.scoring.min_dp_score:
+            continue
+        qlen = int(q_len[i])
+        cig, start_d = ope.traceback_one(
+            p_planes[i], q_codes[i], qlen, rwin[i], int(end_ds[i]), params.scoring
+        )
+        cig = _soft_clip_ends(cig)
+        gstart = w0s[i] + start_d
+        c = contig_ids[i]
+        pos = gstart - int(ref.contig_starts[c]) + 1
+        n_x = sum(n for n, op in cig if op == "X")
+        n_i = sum(n for n, op in cig if op == "I")
+        n_d = sum(n for n, op in cig if op == "D")
+        n_eq = sum(n for n, op in cig if op == "=")
+        nm = n_x + n_i + n_d
+        blen = n_eq + n_x + n_i + n_d
+        de = round(nm / max(1, blen), 4)
+        mapq = _mapq(csc, s2)
+        seq = decode_seq(sk.rc_codes).decode() if strand else sk.seq
+        records[ti] = SamRecord(
+            qname=sk.name,
+            flag=16 if strand else 0,
+            rname=ref.contig_names[c],
+            pos=pos,
+            mapq=mapq,
+            cigar=_cigar_str(cig),
+            seq=seq,
+            tags=[
+                f"NM:i:{nm}",
+                f"ms:i:{int(dp_score)}",
+                f"AS:i:{int(dp_score)}",
+                "nn:i:0",
+                "tp:A:P",
+                f"cm:i:{int(csc / params.k)}",
+                f"s1:i:{int(csc)}",
+                f"s2:i:{int(s2)}",
+                f"de:f:{de}",
+                "rl:i:0",
+            ],
+        )
+    return records
+
+
 def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
     """Chain + extend a pool of pairs (possibly spanning many genomes) as
     fixed-shape device batches; emit one record per pair in pool order."""
@@ -171,87 +266,19 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
 
     chained = sorted(best.items())
     records: dict[int, SamRecord] = {}
-    if chained:
-        lmax = _round_up(max(len(t.sketch.codes) for t in tasks), 32)
-        p = _bucket_pairs(len(chained))
-        q_codes = np.zeros((p, lmax), np.uint8)
-        q_len = np.zeros(p, np.int32)
-        rwin = np.zeros((p, lmax + ope.BAND), np.uint8)
-        rvalid = np.zeros((p, lmax + ope.BAND), bool)
-        w0s, contig_ids = [], []
-        half = ope.BAND // 2
-        for i, (ti, (sc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
-            t = tasks[ti]
-            ref = t.ref
-            codes = t.sketch.rc_codes if strand else t.sketch.codes
-            q_codes[i, : len(codes)] = codes
-            q_len[i] = len(codes)
-            w0 = (rs - qs) - half
-            idx = w0 + np.arange(lmax + ope.BAND)
-            c, _ = ref.contig_of(max(0, min(rs, len(ref.codes) - 1)))
-            c_start = int(ref.contig_starts[c])
-            c_end = c_start + int(ref.contig_lens[c])
-            ok = (idx >= c_start) & (idx < c_end)
-            rwin[i] = ref.codes[np.clip(idx, 0, len(ref.codes) - 1)]
-            rwin[i][~ok] = 0
-            rvalid[i] = ok
-            w0s.append(w0)
-            contig_ids.append(c)
-
-        ext = ope.extend_banded(
-            jnp.asarray(q_codes),
-            jnp.asarray(q_len),
-            jnp.asarray(rwin),
-            jnp.asarray(rvalid),
-            scoring=params.scoring,
-        )
-        p_planes = np.asarray(ext.p_plane)
-        scores = np.asarray(ext.score)
-        end_ds = np.asarray(ext.end_d)
-
-        for i, (ti, (csc, strand, qs, qe, rs, re, s2)) in enumerate(chained):
-            t = tasks[ti]
-            sk, ref = t.sketch, t.ref
-            dp_score = float(scores[i])
-            if dp_score < params.scoring.min_dp_score:
-                continue
-            qlen = int(q_len[i])
-            cig, start_d = ope.traceback_one(
-                p_planes[i], q_codes[i], qlen, rwin[i], int(end_ds[i]), params.scoring
-            )
-            cig = _soft_clip_ends(cig)
-            gstart = w0s[i] + start_d
-            c = contig_ids[i]
-            pos = gstart - int(ref.contig_starts[c]) + 1
-            n_x = sum(n for n, op in cig if op == "X")
-            n_i = sum(n for n, op in cig if op == "I")
-            n_d = sum(n for n, op in cig if op == "D")
-            n_eq = sum(n for n, op in cig if op == "=")
-            nm = n_x + n_i + n_d
-            blen = n_eq + n_x + n_i + n_d
-            de = round(nm / max(1, blen), 4)
-            mapq = _mapq(csc, s2)
-            seq = decode_seq(sk.rc_codes).decode() if strand else sk.seq
-            records[ti] = SamRecord(
-                qname=sk.name,
-                flag=16 if strand else 0,
-                rname=ref.contig_names[c],
-                pos=pos,
-                mapq=mapq,
-                cigar=_cigar_str(cig),
-                seq=seq,
-                tags=[
-                    f"NM:i:{nm}",
-                    f"ms:i:{int(dp_score)}",
-                    f"AS:i:{int(dp_score)}",
-                    "nn:i:0",
-                    "tp:A:P",
-                    f"cm:i:{int(csc / params.k)}",
-                    f"s1:i:{int(csc)}",
-                    f"s2:i:{int(s2)}",
-                    f"de:f:{de}",
-                    "rl:i:0",
-                ],
+    # group by query-length bucket and bound P*L so the extension's traceback
+    # plane ([P, L, BAND] f32) stays within a fixed memory budget — long gene
+    # queries (e.g. ARGannot, multi-kb) get smaller P per device call
+    by_bucket: dict[int, list] = {}
+    for item in chained:
+        ti = item[0]
+        lb = _round_up(max(32, len(tasks[ti].sketch.codes)), 256)
+        by_bucket.setdefault(lb, []).append(item)
+    for lb, items in sorted(by_bucket.items()):
+        max_p = max(8, MAX_EXT_CELLS // lb)
+        for off in range(0, len(items), max_p):
+            records.update(
+                _extend_chunk(tasks, items[off : off + max_p], lb, params)
             )
 
     out = []

@@ -53,13 +53,35 @@ def _inputs(args) -> list[str]:
     return sorted(found)
 
 
+def _my_batches(args, pl) -> tuple[list[str], int, int]:
+    """Batch subset for this process (cluster-style sharding over a shared
+    filesystem, like the reference's one-job-per-batch cluster mode)."""
+    from phylign_tpu.parallel.launch import shard_batches
+
+    num = args.num_processes or 1
+    pid = args.process_id or 0
+    batches = pl.batches()
+    return shard_batches(batches, num, pid), num, pid
+
+
 def cmd_match(args) -> None:
     from phylign_tpu.pipeline.stages import Pipeline
 
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
     stem = pl.preprocess(_inputs(args))
-    pl.match(stem)
+    mine, num, pid = _my_batches(args, pl)
+    pl.match(stem, mine)
+    if num > 1:
+        missing = [
+            b for b in pl.batches() if not pl.match_path(b, stem).exists()
+        ]
+        if missing:
+            print(
+                f"process {pid}: matched {len(mine)} batches; waiting on "
+                f"{len(missing)} from other processes before filtering"
+            )
+            return
     out = pl.filter(stem)
     print(f"match done: {out}")
 
@@ -70,7 +92,16 @@ def cmd_map(args) -> None:
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
     stem = pl.preprocess(_inputs(args))
-    pl.align(stem)
+    mine, num, pid = _my_batches(args, pl)
+    pl.align(stem, mine)
+    if num > 1:
+        missing = [b for b in pl.batches() if not pl.map_path(b, stem).exists()]
+        if missing:
+            print(
+                f"process {pid}: aligned {len(mine)} batches; waiting on "
+                f"{len(missing)} from other processes before aggregating"
+            )
+            return
     out = pl.aggregate(stem)
     pl.stats(stem)
     print(f"map done: {out}")
@@ -120,6 +151,26 @@ def cmd_clean(args) -> None:
             print(f"removed {p}")
 
 
+def cmd_build_index(args) -> None:
+    from phylign_tpu.io.cobs import build_index_from_tar, write_classic_index
+
+    idx = build_index_from_tar(
+        args.tar, term_size=args.kmer, num_hashes=args.hashes, fpr=args.fpr
+    )
+    write_classic_index(args.out, idx)
+    print(
+        f"built {args.out}: {idx.num_docs} docs, k={idx.term_size}, "
+        f"{idx.signature_size} Bloom rows, {idx.num_hashes} hash(es)"
+    )
+
+
+def cmd_report(args) -> None:
+    from phylign_tpu.utils.report import write_report
+
+    out = write_report(args.workdir)
+    print(f"report written: {out}")
+
+
 def cmd_fixture(args) -> None:
     from phylign_tpu.testing import make_fixture
 
@@ -155,6 +206,13 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--batches", help="batches list file override")
         p.add_argument("--nb-best-hits", type=int, dest="nb_best_hits")
         p.add_argument("--threshold", type=float, help="cobs_kmer_thres override")
+        p.add_argument(
+            "--num-processes", type=int, default=None,
+            help="shard batches across N cooperating processes (shared FS)",
+        )
+        p.add_argument(
+            "--process-id", type=int, default=None, help="this process's rank"
+        )
         if queries:
             p.add_argument("queries", nargs="*", help="query fast[aq] files")
 
@@ -178,6 +236,16 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("test", help="run the synthetic golden test")
     p.add_argument("--workdir", default=".")
 
+    p = sub.add_parser("build-index", help="build a .cobs_classic from a batch tar.xz")
+    p.add_argument("tar")
+    p.add_argument("out")
+    p.add_argument("--kmer", type=int, default=31)
+    p.add_argument("--hashes", type=int, default=1)
+    p.add_argument("--fpr", type=float, default=0.3)
+
+    p = sub.add_parser("report", help="HTML run report from logs + stats")
+    p.add_argument("--workdir", default=".")
+
     args = ap.parse_args(argv)
     {
         "all": cmd_all,
@@ -188,6 +256,8 @@ def main(argv: list[str] | None = None) -> None:
         "clean": cmd_clean,
         "fixture": cmd_fixture,
         "test": cmd_test,
+        "build-index": cmd_build_index,
+        "report": cmd_report,
     }[args.cmd](args)
 
 

@@ -181,42 +181,42 @@ def build_classic_index(
 ) -> ClassicIndex:
     """Build an index from (doc_name, [sequences]) pairs.
 
-    Sizing follows the largest document's distinct canonical-k-mer count, like
+    Sizing follows the largest document's distinct canonical-k-mer count
+    (approximated by its distinct Bloom-row count at a large modulus), like
     cobs classic-construct sizes by the largest document in the batch.
+    Bit insertion is idempotent, so duplicate k-mers need no dedup; hashing
+    goes through cobs_row_indices (native C++ when available).
     """
-    from phylign_tpu.kmer import canonical_kmers_ascii, encode_seq, xxh64_batch
+    from phylign_tpu.kmer import cobs_row_indices, encode_seq
 
-    doc_kmer_rows: list[np.ndarray] = []
-    max_elems = 1
-    per_doc_kmers: list[np.ndarray] = []
-    for _, seqs in docs:
-        kmers = [
-            canonical_kmers_ascii(encode_seq(s), term_size)
-            for s in seqs
-            if len(s) >= term_size
-        ]
-        if kmers:
-            allk = np.unique(np.concatenate(kmers, axis=0), axis=0)
-        else:
-            allk = np.empty((0, term_size), dtype=np.uint8)
-        per_doc_kmers.append(allk)
-        max_elems = max(max_elems, allk.shape[0])
-
+    # pass 1: estimate distinct-kmer count of the largest doc for sizing
     if signature_size is None:
+        big_mod = (1 << 61) - 1
+        max_elems = 1
+        for _, seqs in docs:
+            rows_d = [
+                cobs_row_indices(encode_seq(s), term_size, big_mod, 1)
+                for s in seqs
+                if len(s) >= term_size
+            ]
+            if rows_d:
+                distinct = np.unique(np.concatenate(rows_d)).shape[0]
+                max_elems = max(max_elems, distinct)
         signature_size = calc_signature_size(max_elems, num_hashes, fpr)
 
     num_docs = len(docs)
     row_bytes = (num_docs + 7) // 8
     rows = np.zeros((signature_size, row_bytes), dtype=np.uint8)
-    for d, allk in enumerate(per_doc_kmers):
-        if allk.shape[0] == 0:
-            continue
+    for d, (_, seqs) in enumerate(docs):
         byte_idx, bit = d // 8, np.uint8(1 << (d % 8))
-        for h in range(num_hashes):
-            r = (xxh64_batch(np.ascontiguousarray(allk), h) % np.uint64(signature_size)).astype(
-                np.int64
+        for s in seqs:
+            if len(s) < term_size:
+                continue
+            r = cobs_row_indices(
+                encode_seq(s), term_size, signature_size, num_hashes
             )
-            rows[r, byte_idx] |= bit
+            for h in range(num_hashes):
+                rows[r[:, h], byte_idx] |= bit
     return ClassicIndex(
         term_size=term_size,
         canonicalize=True,
@@ -225,6 +225,32 @@ def build_classic_index(
         signature_size=signature_size,
         rows=rows,
     )
+
+
+def build_index_from_tar(
+    tar_path: str | os.PathLike,
+    term_size: int = DEFAULT_TERM_SIZE,
+    num_hashes: int = 1,
+    fpr: float = DEFAULT_FPR,
+    add_rid_prefix: bool = True,
+    seed: int = 0,
+) -> ClassicIndex:
+    """Index construction from a batch assembly tarball: builds the paired
+    .cobs_classic artifact for a .tar.xz of genome FASTAs (the artifact pair
+    the reference downloads together: /root/reference/Snakefile:196-207).
+    Doc names get the 661k-style random sort prefix 'NNNN_' unless disabled
+    (ref: postprocess_cobs.py:16-18 strips it)."""
+    from phylign_tpu.io.asmtar import iter_batch_assemblies
+    from phylign_tpu.kmer import decode_seq
+
+    rng = np.random.default_rng(seed)
+    docs: list[tuple[str, list[bytes]]] = []
+    for rname, contigs in iter_batch_assemblies(tar_path):
+        name = (
+            f"{int(rng.integers(0, 10000)):04d}_{rname}" if add_rid_prefix else rname
+        )
+        docs.append((name, [decode_seq(codes) for _, codes in contigs]))
+    return build_classic_index(docs, term_size, num_hashes, fpr=fpr)
 
 
 # --- device repacking --------------------------------------------------------

@@ -72,6 +72,40 @@ def filter_queries(
     return list(by_name.values())
 
 
+def filter_queries_streaming(
+    query_records: Iterable[FastxRecord],
+    per_batch_matches: Mapping[str, Iterable[tuple[str, list[tuple[str, int]]]]],
+    keep: int,
+) -> Iterable[FilteredQuery]:
+    """Constant-memory variant: stream all match files in query lockstep.
+
+    Requires every match file to list queries in merged-query order — true
+    for files this pipeline (and cobs) produce. This is the capability of
+    the reference's streaming experiment
+    (/root/reference/scripts/filter_queries_2.py:196-207), productionized:
+    memory is O(batches + one query's candidates) instead of O(all
+    candidates of all queries).
+    """
+    iters = {b: iter(s) for b, s in per_batch_matches.items()}
+    heads: dict[str, tuple[str, list[tuple[str, int]]] | None] = {
+        b: next(it, None) for b, it in iters.items()
+    }
+    for rec in query_records:
+        triples: list[tuple[str, str, int]] = []
+        for b, it in iters.items():
+            head = heads[b]
+            if head is not None and head[0] == rec.name:
+                triples.extend((b, acc, score) for acc, score in head[1])
+                heads[b] = next(it, None)
+        yield FilteredQuery(rec.name, rec.seq, filter_candidates(triples, keep))
+    leftovers = [b for b, h in heads.items() if h is not None]
+    if leftovers:
+        raise ValueError(
+            f"match files out of sync with the merged query order: "
+            f"unconsumed entries in batches {leftovers[:3]}"
+        )
+
+
 def write_filtered_fasta(fp: TextIO, queries: Iterable[FilteredQuery]) -> None:
     """04_filter FASTA contract: '>{name} {acc1,acc2,...}' (always a space)."""
     for q in queries:

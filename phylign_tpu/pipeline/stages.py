@@ -42,11 +42,10 @@ from phylign_tpu.io.fastx import (
 from phylign_tpu.io.sam import aggregate_sams, write_batch_sam
 from phylign_tpu.io.stats import compute_stats
 from phylign_tpu.match.filter import (
-    filter_queries,
+    filter_queries_streaming,
     read_filtered_fasta,
     write_filtered_fasta,
 )
-from phylign_tpu.match.oracle import query_index
 from phylign_tpu.match.postprocess import (
     QueryMatches,
     read_match_file,
@@ -268,16 +267,24 @@ class Pipeline:
         if self.manifest.done("filter", stem, [str(out)]):
             return out
         with benchmark(self.logs, "translate_matches", stem):
-            records = list(read_fastx_file(self.merged_fa(stem)))
-            streams = {}
-            for b in batches:
-                f = xopen_read(self.match_path(b, stem))
-                streams[b] = read_match_file(f)
-            filtered = filter_queries(records, streams, self.cfg.nb_best_hits)
-            tmp, commit = atomic_write_via(out)
-            with open(tmp, "w") as f:
-                write_filtered_fasta(f, filtered)
-            commit()
+            # streaming lockstep merge: constant memory in #queries
+            handles = [xopen_read(self.match_path(b, stem)) for b in batches]
+            try:
+                streams = {
+                    b: read_match_file(h) for b, h in zip(batches, handles)
+                }
+                filtered = filter_queries_streaming(
+                    read_fastx_file(self.merged_fa(stem)),
+                    streams,
+                    self.cfg.nb_best_hits,
+                )
+                tmp, commit = atomic_write_via(out)
+                with open(tmp, "w") as f:
+                    write_filtered_fasta(f, filtered)
+                commit()
+            finally:
+                for h in handles:
+                    h.close()
         self.manifest.mark("filter", stem, [str(out)])
         return out
 

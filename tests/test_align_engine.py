@@ -141,3 +141,32 @@ class TestSamIO:
         out = tmp_path / "s.gz"
         sam.aggregate_sams(out, [p1])
         assert sam.summary_first3(out) == [("b1.sam.gz",), ("q", "0", "r")]
+
+
+class TestLongQueries:
+    """ARGannot-style gene queries (multi-kb) through the bucketed extension."""
+
+    def test_gene_alignment(self):
+        rng = np.random.default_rng(33)
+        contig = rand_seq(rng, 12000)
+        gene = bytearray(contig[4000:6000])  # 2 kb gene
+        gene[500] = ord("A") if gene[500] != ord("A") else ord("C")
+        gene[1500] = ord("G") if gene[1500] != ord("G") else ord("T")
+        queries = [
+            FilteredQuery("geneX", bytes(gene).decode(), [("b", "SAMG0001", 100)]),
+            FilteredQuery("readY", contig[100:250].decode(), [("b", "SAMG0001", 120)]),
+        ]
+        import tempfile, pathlib
+        d = pathlib.Path(tempfile.mkdtemp())
+        tar = d / "genes__01.tar.xz"
+        asmtar.write_batch_tar(tar, [("SAMG0001", [("SAMG0001.c1", contig)])])
+        recs = list(engine.align_batch(str(tar), queries, None))
+        by = {r.qname: r for r in recs}
+        g = by["geneX"]
+        assert g.flag == 0 and g.rname == "SAMG0001.c1" and g.pos == 4001
+        # cigar consumes the full 2 kb query with exactly 2 mismatches
+        import re
+        ops = re.findall(r"(\d+)([=XIDS])", g.cigar)
+        assert sum(int(n) for n, op in ops if op in "=XIS") == 2000
+        assert sum(int(n) for n, op in ops if op == "X") == 2
+        assert by["readY"].pos == 101 and by["readY"].cigar == "150="

@@ -1,0 +1,75 @@
+import json
+
+import numpy as np
+import pytest
+
+from phylign_tpu import testing as fixture_mod
+from phylign_tpu.cli import main
+from phylign_tpu.parallel.launch import detect_process_env, shard_batches
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    fixture_mod.make_fixture(d, n_batches=2, seed=11)
+    return d
+
+
+class TestProcessSharding:
+    def test_shard_batches(self):
+        b = [f"b{i}" for i in range(7)]
+        parts = [shard_batches(b, 3, p) for p in range(3)]
+        assert sorted(sum(parts, [])) == sorted(b)
+        assert parts[0] == ["b0", "b3", "b6"]
+
+    def test_slurm_env_detection(self, monkeypatch):
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        monkeypatch.setenv("SLURM_PROCID", "2")
+        monkeypatch.setenv("SLURM_NODELIST", "node[01-04]")
+        coord, num, pid = detect_process_env()
+        assert (num, pid) == (4, 2)
+        assert coord == "node"
+
+    def test_sharded_match_then_map(self, workdir, capsys):
+        inputs = sorted(str(p) for p in (workdir / "input").iterdir())
+        base = ["--config", str(workdir / "config.yaml"), "--workdir", str(workdir)]
+        # process 0 of 2 runs first: must wait for process 1
+        main(["match", *base, "--num-processes", "2", "--process-id", "0", *inputs])
+        assert "waiting on" in capsys.readouterr().out
+        main(["match", *base, "--num-processes", "2", "--process-id", "1", *inputs])
+        assert "match done" in capsys.readouterr().out
+        main(["map", *base, "--num-processes", "2", "--process-id", "0", *inputs])
+        assert "waiting on" in capsys.readouterr().out
+        main(["map", *base, "--num-processes", "2", "--process-id", "1", *inputs])
+        assert "map done" in capsys.readouterr().out
+        got = (workdir / "output").glob("*.sam_summary.gz")
+        assert list(got)
+
+
+class TestBuildIndexCLI:
+    def test_build_and_query(self, workdir, tmp_path, capsys):
+        from phylign_tpu.io import cobs
+        from phylign_tpu.kmer import encode_seq
+        from phylign_tpu.match.oracle import query_index
+
+        batch = (workdir / "data" / "batches_small.txt").read_text().split()[0]
+        tar = workdir / "asms" / f"{batch}.tar.xz"
+        out = tmp_path / "rebuilt.cobs_classic.xz"
+        main(["build-index", str(tar), str(out)])
+        assert "built" in capsys.readouterr().out
+        idx = cobs.read_classic_index(out)
+        assert idx.num_docs == 4
+        # a read planted in this batch must hit its genome via the rebuilt index
+        didx = cobs.to_device_index(idx)
+        reads = (workdir / "input" / "reads_1.fastq").read_text().splitlines()
+        seq = reads[1].encode()
+        hits = query_index(didx, encode_seq(seq), threshold=0.7)
+        assert hits, "planted read should hit the rebuilt index"
+
+
+class TestReport:
+    def test_report_html(self, workdir, capsys):
+        main(["report", "--workdir", str(workdir)])
+        out = capsys.readouterr().out
+        html = (workdir / "report.html").read_text()
+        assert "Output stats" in html or "Stage benchmarks" in html
