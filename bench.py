@@ -33,6 +33,10 @@ def tpu_throughput() -> float:
     import jax
     import jax.numpy as jnp
 
+    from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+    _enable_jax_cache()
+
     # XLA gather path: compiles in ~1 s through the remote relay (the Pallas
     # kernel takes ~2 min to compile there) and currently matches or beats it
     from phylign_tpu.ops.match import match_scores_xla as match_scores

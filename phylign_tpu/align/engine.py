@@ -134,6 +134,18 @@ def make_pair(ref: opm.RefIndex, sk: QuerySketch, params: AlignParams) -> PairTa
 MAX_EXT_CELLS = 1 << 20  # bound on P * L per extension call (plane ~512 MB)
 
 
+def _diag_cigar(qc: np.ndarray, rseg: np.ndarray) -> list[tuple[int, str]]:
+    """Run-length =/X cigar for a gapless alignment along one diagonal."""
+    neq = qc != rseg
+    cig: list[tuple[int, str]] = []
+    run_start = 0
+    for i in range(1, len(qc) + 1):
+        if i == len(qc) or neq[i] != neq[run_start]:
+            cig.append((i - run_start, "X" if neq[run_start] else "="))
+            run_start = i
+    return cig
+
+
 def _extend_chunk(
     tasks: list[PairTask],
     items: list[tuple[int, tuple]],
@@ -141,7 +153,13 @@ def _extend_chunk(
     params: AlignParams,
 ) -> dict[int, SamRecord]:
     """Banded extension + traceback for one length-bucketed chunk of chained
-    pairs. items: [(task idx, (score, strand, qs, qe, rs, re, s2))]."""
+    pairs. items: [(task idx, (score, strand, qs, qe, rs, re, s2))].
+
+    Two device passes: a score-only pass for everything, then a traceback-
+    plane pass ONLY for pairs whose optimal score cannot be realized gaplessly
+    on the end diagonal. Short-read alignments are overwhelmingly gapless, so
+    the expensive [P, L, BAND] plane transfer runs for a small remainder.
+    """
     records: dict[int, SamRecord] = {}
     p = _bucket_pairs(len(items))
     q_codes = np.zeros((p, lmax), np.uint8)
@@ -168,27 +186,66 @@ def _extend_chunk(
         w0s.append(w0)
         contig_ids.append(c)
 
-    ext = ope.extend_banded(
-        jnp.asarray(q_codes),
-        jnp.asarray(q_len),
-        jnp.asarray(rwin),
-        jnp.asarray(rvalid),
-        scoring=params.scoring,
-    )
-    p_planes = np.asarray(ext.p_plane)
-    scores = np.asarray(ext.score)
-    end_ds = np.asarray(ext.end_d)
+    qj = jnp.asarray(q_codes)
+    lj = jnp.asarray(q_len)
+    rj = jnp.asarray(rwin)
+    vj = jnp.asarray(rvalid)
+    sc_dev, end_dev = ope.extend_banded_scores(qj, lj, rj, vj, scoring=params.scoring)
+    scores = np.asarray(sc_dev)
+    end_ds = np.asarray(end_dev)
+
+    match_s = params.scoring.match
+    mis_s = params.scoring.mismatch
+    gapped: list[int] = []  # chunk-local indices needing the plane pass
+    cigars: dict[int, tuple[list[tuple[int, str]], int]] = {}
+    for i, (ti, meta_t) in enumerate(items):
+        if float(scores[i]) < params.scoring.min_dp_score:
+            continue
+        qlen = int(q_len[i])
+        d = int(end_ds[i])
+        qc = q_codes[i, :qlen]
+        rseg = rwin[i, d : d + qlen]
+        vseg = rvalid[i, d : d + qlen]
+        if vseg.all():
+            neq = int((qc != rseg).sum())
+            diag_score = match_s * (qlen - neq) - mis_s * neq
+            if diag_score == int(scores[i]):
+                cigars[i] = (_diag_cigar(qc, rseg), d)
+                continue
+        gapped.append(i)
+
+    if gapped:
+        gi = np.asarray(gapped)
+        gp = _bucket_pairs(len(gapped))
+
+        def pad(a):
+            out = np.zeros((gp,) + a.shape[1:], a.dtype)
+            out[: len(gi)] = a[gi]
+            return out
+
+        ext = ope.extend_banded(
+            jnp.asarray(pad(q_codes)),
+            jnp.asarray(pad(q_len)),
+            jnp.asarray(pad(rwin)),
+            jnp.asarray(pad(rvalid)),
+            scoring=params.scoring,
+        )
+        p_planes = np.asarray(ext.p_plane)
+        for gj, i in enumerate(gapped):
+            qlen = int(q_len[i])
+            cig, start_d = ope.traceback_one(
+                p_planes[gj], q_codes[i], qlen, rwin[i], int(end_ds[i]),
+                params.scoring,
+            )
+            cigars[i] = (cig, start_d)
 
     for i, (ti, (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+        if i not in cigars:
+            continue
         t = tasks[ti]
         sk, ref = t.sketch, t.ref
         dp_score = float(scores[i])
-        if dp_score < params.scoring.min_dp_score:
-            continue
-        qlen = int(q_len[i])
-        cig, start_d = ope.traceback_one(
-            p_planes[i], q_codes[i], qlen, rwin[i], int(end_ds[i]), params.scoring
-        )
+        cig, start_d = cigars[i]
         cig = _soft_clip_ends(cig)
         gstart = w0s[i] + start_d
         c = contig_ids[i]
@@ -243,9 +300,20 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
     # ti -> (score, strand, qs, qe, rs, re, s2)
     if anchor_sets:
         res = _chain_pairs(anchor_sets, params)
+        # one bulk device->host transfer: per-element float()/int() on JAX
+        # arrays costs a full dispatch round-trip EACH (~28 ms on the axon
+        # relay — measured 172 s of 279 s for a 1024-pair batch)
+        c_score, c_count, c_qs, c_qe, c_rs, c_re = (
+            np.asarray(res.score),
+            np.asarray(res.count),
+            np.asarray(res.qs),
+            np.asarray(res.qe),
+            np.asarray(res.rs),
+            np.asarray(res.re),
+        )
         for i, (ti, strand) in enumerate(meta):
-            sc = float(res.score[i])
-            cnt = int(res.count[i])
+            sc = float(c_score[i])
+            cnt = int(c_count[i])
             if cnt < params.min_chain_cnt or sc < params.min_chain_score:
                 continue
             prev = best.get(ti)
@@ -254,10 +322,10 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
                 best[ti] = (
                     sc,
                     strand,
-                    int(res.qs[i]),
-                    int(res.qe[i]),
-                    int(res.rs[i]),
-                    int(res.re[i]),
+                    int(c_qs[i]),
+                    int(c_qe[i]),
+                    int(c_rs[i]),
+                    int(c_re[i]),
                     s2,
                 )
             else:

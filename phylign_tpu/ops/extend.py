@@ -59,12 +59,42 @@ class ExtendResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("scoring",))
+def extend_banded_scores(
+    q_codes: jax.Array,
+    q_len: jax.Array,
+    rwin: jax.Array,
+    rwin_valid: jax.Array,
+    scoring: SrScoring = SrScoring(),
+) -> tuple[jax.Array, jax.Array]:
+    """Score-only banded extension: (score [P], end_d [P]).
+
+    Skips the traceback plane entirely — no [P, L, BAND] buffer and no bulk
+    device->host transfer. The align engine resolves gapless alignments
+    (the common case for short reads) directly on the end diagonal and only
+    re-runs the plane variant for pairs whose score implies indels.
+    """
+    res = _extend_impl(q_codes, q_len, rwin, rwin_valid, scoring, False)
+    return res.score, res.end_d
+
+
+@functools.partial(jax.jit, static_argnames=("scoring",))
 def extend_banded(
     q_codes: jax.Array,  # int8/uint8 [P, L] strand-adjusted query codes
     q_len: jax.Array,  # int32 [P] actual query lengths (<= L)
     rwin: jax.Array,  # uint8 [P, L + BAND] ref window codes
     rwin_valid: jax.Array,  # bool [P, L + BAND] in-contig mask for the window
     scoring: SrScoring = SrScoring(),
+) -> ExtendResult:
+    return _extend_impl(q_codes, q_len, rwin, rwin_valid, scoring, True)
+
+
+def _extend_impl(
+    q_codes: jax.Array,
+    q_len: jax.Array,
+    rwin: jax.Array,
+    rwin_valid: jax.Array,
+    scoring: SrScoring,
+    collect_plane: bool,
 ) -> ExtendResult:
     p, l = q_codes.shape
     o1 = jnp.float32(scoring.gap_open1 + scoring.gap_ext1)
@@ -117,7 +147,7 @@ def extend_banded(
         row_best = jnp.take_along_axis(h, row_best_d[:, None], axis=1)[:, 0]
         best = jnp.where(is_last, row_best, best)
         best_d = jnp.where(is_last, row_best_d, best_d)
-        return (h, i1, i2, best, best_d), pmax
+        return (h, i1, i2, best, best_d), (pmax if collect_plane else None)
 
     h0 = jnp.zeros((p, BAND), jnp.float32)  # free ref-overhang start
     i10 = jnp.full((p, BAND), NEG)
@@ -132,9 +162,11 @@ def extend_banded(
     (_, _, _, best, best_d), p_planes = jax.lax.scan(
         row, (h0, i10, i20, best0, bestd0), xs
     )
-    return ExtendResult(
-        score=best, end_d=best_d, p_plane=p_planes.transpose(1, 0, 2)
-    )
+    if not collect_plane:
+        p_planes = jnp.zeros((p, 0, BAND), jnp.float32)
+    else:
+        p_planes = p_planes.transpose(1, 0, 2)
+    return ExtendResult(score=best, end_d=best_d, p_plane=p_planes)
 
 
 # --- host traceback ----------------------------------------------------------

@@ -61,6 +61,9 @@ log = logging.getLogger("phylign_tpu.pipeline")
 
 class Pipeline:
     def __init__(self, config: Config, workdir: str | Path = "."):
+        from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+        _enable_jax_cache()
         self.cfg = config
         self.root = Path(workdir)
         self.inter = self.root / config.intermediate_dir
