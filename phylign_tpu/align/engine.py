@@ -131,6 +131,21 @@ def make_pair(ref: opm.RefIndex, sk: QuerySketch, params: AlignParams) -> PairTa
     return PairTask(sk, ref, plus, minus)
 
 
+def make_pairs_batch(
+    ref: opm.RefIndex, sks: list[QuerySketch], params: AlignParams
+) -> list[PairTask]:
+    """Vectorized anchor collection for all of one genome's queries."""
+    per_q = opm.collect_anchors_batch(
+        ref,
+        [sk.mh for sk in sks],
+        [sk.mp for sk in sks],
+        [sk.ms for sk in sks],
+        [len(sk.codes) for sk in sks],
+        params.max_occ,
+    )
+    return [PairTask(sk, ref, p, m) for sk, (p, m) in zip(sks, per_q)]
+
+
 MAX_EXT_CELLS = 1 << 20  # bound on P * L per extension call (plane ~512 MB)
 
 
@@ -366,7 +381,7 @@ def align_genome(
     if not sketches:
         return []
     ref = opm.build_ref_index(rname, contigs, params.k, params.w)
-    return flush_pairs([make_pair(ref, sk, params) for sk in sketches], params)
+    return flush_pairs(make_pairs_batch(ref, list(sketches), params), params)
 
 
 def _mapq(s1: float, s2: float) -> int:
@@ -403,11 +418,13 @@ def align_batch(
     pair_chunk = 1024
     for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
         ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+        sks = []
         for qi in rname_to_q[rname]:
             if qi not in sketch_cache:
                 fq = queries[qi]
                 sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
-            pool.append(make_pair(ref, sketch_cache[qi], params))
+            sks.append(sketch_cache[qi])
+        pool.extend(make_pairs_batch(ref, sks, params))
         # flush pooled pairs (spanning genomes) once the device batch is full
         if len(pool) >= pair_chunk:
             yield from flush_pairs(pool, params)

@@ -183,6 +183,70 @@ class Anchors:
     qpos: np.ndarray  # int32 [A] query pos (in strand-adjusted query coords)
 
 
+def collect_anchors_batch(
+    ref: RefIndex,
+    q_hashes: list[np.ndarray],
+    q_poss: list[np.ndarray],
+    q_strands: list[np.ndarray],
+    q_lens: list[int],
+    max_occ: int = 50,
+) -> list[tuple[Anchors, Anchors]]:
+    """Vectorized anchor collection for MANY queries against one genome.
+
+    One searchsorted over the concatenated minimizer sets + one vectorized
+    range expansion replaces the per-minimizer Python loop of
+    collect_anchors; semantics identical. Returns per-query (plus, minus)."""
+    nq = len(q_hashes)
+    sizes = np.array([len(h) for h in q_hashes], np.int64)
+    if sizes.sum() == 0 or ref.sort_hash.shape[0] == 0:
+        empty = Anchors(np.empty(0, np.int32), np.empty(0, np.int32))
+        return [(empty, empty) for _ in range(nq)]
+    qid = np.repeat(np.arange(nq), sizes)
+    h = np.concatenate(q_hashes)
+    qp = np.concatenate(q_poss).astype(np.int64)
+    qs = np.concatenate(q_strands)
+    qlen_arr = np.asarray(q_lens, np.int64)
+
+    lo = np.searchsorted(ref.sort_hash, h, side="left")
+    hi = np.searchsorted(ref.sort_hash, h, side="right")
+    cnt = hi - lo
+    keep = (cnt > 0) & (cnt <= max_occ)
+    ks = np.flatnonzero(keep)
+    reps = cnt[ks]
+    tot = int(reps.sum())
+    if tot == 0:
+        empty = Anchors(np.empty(0, np.int32), np.empty(0, np.int32))
+        return [(empty, empty) for _ in range(nq)]
+    # flat indices into the sorted ref table: starts repeated + running offset
+    offs = np.arange(tot) - np.repeat(np.cumsum(reps) - reps, reps)
+    rt = np.repeat(lo[ks], reps) + offs
+    rp = ref.sort_pos[rt].astype(np.int32)
+    rstr = ref.sort_strand[rt]
+    a_qid = np.repeat(qid[ks], reps)
+    a_qpos = np.repeat(qp[ks], reps)
+    a_qstr = np.repeat(qs[ks], reps)
+    rel = rstr != a_qstr  # 1 -> read maps to ref minus strand
+    qpos_adj = np.where(
+        rel, qlen_arr[a_qid] - ref.k - a_qpos, a_qpos
+    ).astype(np.int32)
+    # group by (query, strand) then sort (rpos, qpos) within groups
+    group = a_qid * 2 + rel
+    order = np.lexsort((qpos_adj, rp, group))
+    group_s, rp_s, qp_s = group[order], rp[order], qpos_adj[order]
+    bounds = np.searchsorted(group_s, np.arange(2 * nq + 1))
+    out = []
+    for q in range(nq):
+        sl_p = slice(bounds[2 * q], bounds[2 * q + 1])
+        sl_m = slice(bounds[2 * q + 1], bounds[2 * q + 2])
+        out.append(
+            (
+                Anchors(rp_s[sl_p].copy(), qp_s[sl_p].copy()),
+                Anchors(rp_s[sl_m].copy(), qp_s[sl_m].copy()),
+            )
+        )
+    return out
+
+
 def collect_anchors(
     ref: RefIndex,
     q_hash: np.ndarray,

@@ -227,3 +227,35 @@ class TestExtend:
         )
         qlen_from_cig = sum(n for n, op in cig if op in "=XI")
         assert qlen_from_cig == len(q)
+
+
+class TestCollectAnchorsBatch:
+    def test_matches_single(self):
+        rng = np.random.default_rng(50)
+        contig = rand_codes(rng, 5000)
+        ref = opm.build_ref_index("X", [("c", contig)])
+        sketches = []
+        for i in range(6):
+            if i % 2 == 0:
+                read = contig[i * 500 : i * 500 + 150].copy()
+            else:
+                read = revcomp_codes(contig[i * 500 : i * 500 + 150])
+            sketches.append(read)
+        hs, ps, ss, ls = [], [], [], []
+        for r in sketches:
+            h, p, s = opm.minimizers(r, ref.k, ref.w)
+            hs.append(h); ps.append(p); ss.append(s); ls.append(len(r))
+        batch = opm.collect_anchors_batch(ref, hs, ps, ss, ls)
+        for i in range(6):
+            plus, minus = opm.collect_anchors(ref, hs[i], ps[i], ss[i], ls[i])
+            bp, bm = batch[i]
+            np.testing.assert_array_equal(bp.rpos, plus.rpos)
+            np.testing.assert_array_equal(bp.qpos, plus.qpos)
+            np.testing.assert_array_equal(bm.rpos, minus.rpos)
+            np.testing.assert_array_equal(bm.qpos, minus.qpos)
+
+    def test_empty(self):
+        rng = np.random.default_rng(51)
+        ref = opm.build_ref_index("X", [("c", rand_codes(rng, 2000))])
+        out = opm.collect_anchors_batch(ref, [], [], [], [])
+        assert out == []
