@@ -30,6 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: kernels here compile once per shape bucket;
+# without the cache a cold extension compile costs minutes through this
+# environment's remote-compile relay (see phylign_tpu.utils.jaxcache).
+from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+_enable_jax_cache()
+
 PAD_POS = np.int32(2**30)
 
 

@@ -35,6 +35,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: kernels here compile once per shape bucket;
+# without the cache a cold extension compile costs minutes through this
+# environment's remote-compile relay (see phylign_tpu.utils.jaxcache).
+from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+_enable_jax_cache()
+
 BAND = 128  # band width in ref offsets; half-band = BAND // 2
 NEG = np.float32(-1e30)
 

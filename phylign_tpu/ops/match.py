@@ -41,6 +41,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Persistent compilation cache: kernels here compile once per shape bucket;
+# without the cache a cold extension compile costs minutes through this
+# environment's remote-compile relay (see phylign_tpu.utils.jaxcache).
+from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+_enable_jax_cache()
+
 LANE_WORDS = 128  # uint32 words per 512-byte aligned row chunk
 
 
