@@ -61,7 +61,10 @@ class Matcher:
     def from_device_index(
         cls, didx: DeviceIndex, use_pallas: bool | None = None
     ) -> "Matcher":
-        padded = pad_device_words(np.asarray(didx.words))
+        from phylign_tpu.ops.match import LANE_WORDS
+
+        lane = LANE_WORDS if use_pallas else 8
+        padded = pad_device_words(np.asarray(didx.words), lane_words=lane)
         return cls(
             term_size=didx.term_size,
             num_hashes=didx.num_hashes,

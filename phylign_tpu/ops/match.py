@@ -55,11 +55,16 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_device_words(words: np.ndarray) -> np.ndarray:
-    """[S, W] uint32 -> [S+1, Wp] with Wp multiple of LANE_WORDS and a final
-    all-zero padding row."""
+def pad_device_words(words: np.ndarray, lane_words: int = 8) -> np.ndarray:
+    """[S, W] uint32 -> [S+1, Wp] with Wp a multiple of ``lane_words`` and a
+    final all-zero padding row.
+
+    lane_words=8 (32 B rows) suits the XLA gather path and minimizes the
+    index upload (a 2169-doc batch rows at 72 words instead of 128 — the
+    relay uploads at ~40 MB/s, so index bytes matter). The Pallas kernel
+    requires lane_words=LANE_WORDS (full 512 B lanes)."""
     s, w = words.shape
-    wp = round_up(max(w, 1), LANE_WORDS)
+    wp = round_up(max(w, 1), lane_words)
     out = np.zeros((s + 1, wp), dtype=np.uint32)
     out[:s, :w] = words
     return out
@@ -216,9 +221,15 @@ def match_scores_pallas(
 def match_scores(
     words: jax.Array, row_idx: jax.Array, use_pallas: bool | None = None
 ) -> jax.Array:
-    """Dispatch: Pallas on TPU, XLA elsewhere (Pallas-interpret in tests)."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    """Dispatch between the two equivalent paths.
+
+    Default is the XLA path on every backend: measured on v5e it matches or
+    beats the current Pallas kernel at runtime (fused gather+unpack, ~345k
+    q/s vs ~140k) AND compiles in <1 s where the Mosaic kernel takes minutes
+    through this environment's remote-compile relay (and misses the
+    persistent cache). The Pallas kernel stays available for explicit
+    benchmarking and future tuning (use_pallas=True).
+    """
     if use_pallas:
         return match_scores_pallas(words, row_idx)
     return match_scores_xla(words, row_idx)

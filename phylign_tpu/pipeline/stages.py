@@ -58,12 +58,38 @@ from phylign_tpu.utils.bench import benchmark
 
 log = logging.getLogger("phylign_tpu.pipeline")
 
+_warmed = False
+
+
+def _warm_device_async() -> None:
+    """Touch the device from a background thread at pipeline start: the first
+    real device interaction pays a large, variable backend-claim latency
+    (minutes through this environment's relay); warming early overlaps it
+    with host-side preprocessing and index decode."""
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+
+    def _touch():
+        try:
+            import jax.numpy as jnp
+
+            float(jnp.zeros((8,)).sum())
+        except Exception as e:  # noqa: BLE001 - warmup is best-effort
+            log.debug("device warmup failed: %s", e)
+
+    import threading
+
+    threading.Thread(target=_touch, daemon=True, name="device-warmup").start()
+
 
 class Pipeline:
     def __init__(self, config: Config, workdir: str | Path = "."):
         from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
 
         _enable_jax_cache()
+        _warm_device_async()
         self.cfg = config
         self.root = Path(workdir)
         self.inter = self.root / config.intermediate_dir

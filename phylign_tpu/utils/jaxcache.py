@@ -19,7 +19,7 @@ def enable(cache_dir: str | os.PathLike | None = None) -> None:
     """Idempotently point JAX at a persistent compilation cache directory.
     An explicit JAX_COMPILATION_CACHE_DIR in the environment wins."""
     global _enabled
-    if _enabled:
+    if _enabled or os.environ.get("PHYLIGN_TPU_NO_JAX_CACHE"):
         return
     import jax
 

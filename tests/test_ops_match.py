@@ -62,7 +62,7 @@ class TestMatchScoresXLA:
 class TestMatchScoresPallas:
     def test_interpret_matches_xla(self, fixture_index):
         didx, reads = fixture_index
-        words = jnp.asarray(opm.pad_device_words(np.asarray(didx.words)))
+        words = jnp.asarray(opm.pad_device_words(np.asarray(didx.words), lane_words=opm.LANE_WORDS))
         m = Matcher.from_device_index(didx, use_pallas=False)
         row_idx, n_kmers = m.rows_for_queries([r for r in reads[:4]], k_max=128)
         want = opm.match_scores_xla(words, jnp.asarray(row_idx))
@@ -75,7 +75,7 @@ class TestMatchScoresPallas:
         docs = [("a_Y1", [seq]), ("b_Y2", [rand_seq(rng, 150)])]
         idx = cobs.build_classic_index(docs, term_size=31, num_hashes=2, fpr=0.05)
         didx = cobs.to_device_index(idx)
-        words = jnp.asarray(opm.pad_device_words(np.asarray(didx.words)))
+        words = jnp.asarray(opm.pad_device_words(np.asarray(didx.words), lane_words=opm.LANE_WORDS))
         m = Matcher.from_device_index(didx, use_pallas=False)
         row_idx, _ = m.rows_for_queries([seq], k_max=70)
         want = opm.match_scores_xla(words, jnp.asarray(row_idx))
@@ -86,7 +86,7 @@ class TestMatchScoresPallas:
 class TestPacking:
     def test_pad_device_words(self):
         w = np.arange(6, dtype=np.uint32).reshape(2, 3)
-        p = opm.pad_device_words(w)
+        p = opm.pad_device_words(w, lane_words=opm.LANE_WORDS)
         assert p.shape == (3, 128)
         assert (p[2] == 0).all()
         np.testing.assert_array_equal(p[:2, :3], w)
