@@ -36,8 +36,9 @@ from phylign_tpu.ops import minimizer as opm
 
 @dataclass(frozen=True)
 class AlignParams:
-    """minimap2 sr preset knobs this engine honors
-    (ref: config.yaml:35 minimap_preset 'sr', batch_align.py:268-270)."""
+    """minimap2 preset knobs this engine honors
+    (ref: config.yaml:29-38 minimap_preset + minimap_extra_params,
+    batch_align.py:268-270). Defaults are the sr preset."""
 
     k: int = 21
     w: int = 11
@@ -48,6 +49,47 @@ class AlignParams:
     scoring: ope.SrScoring = field(default_factory=ope.SrScoring)
     max_anchors: int = 64  # padded anchor slots per (pair, strand)
     max_occ: int = 50  # high-frequency seed filter
+
+    @classmethod
+    def from_preset(cls, preset: str, extra_params: str = "") -> "AlignParams":
+        """Build params from a minimap2 preset name (config.yaml:29-35 lists
+        the supported set). Seeding/scoring constants follow minimap2's
+        presets; map-pb/map-ont run without homopolymer compression here
+        (a documented divergence — affects sensitivity on noisy long reads,
+        not the record contract). '--eqx' in extra_params is the default
+        output mode already; other extra flags are rejected loudly."""
+        table = {
+            # preset: k, w, max_gap, match, mismatch, o1, e1, o2, e2, min_cnt, min_chain
+            "sr": (21, 11, 100, 2, 8, 12, 2, 32, 1, 2, 20.0),
+            "map-ont": (15, 10, 5000, 2, 4, 4, 2, 24, 1, 3, 40.0),
+            "map-pb": (19, 19, 5000, 2, 4, 4, 2, 24, 1, 3, 40.0),
+            "asm5": (19, 19, 10000, 1, 19, 39, 3, 81, 1, 3, 40.0),
+            "asm10": (19, 19, 10000, 1, 9, 16, 2, 41, 1, 3, 40.0),
+            "asm20": (19, 19, 10000, 1, 4, 6, 2, 26, 1, 3, 40.0),
+        }
+        if preset not in table:
+            raise ValueError(
+                f"unsupported minimap preset {preset!r}; supported: {sorted(table)}"
+            )
+        for tok in extra_params.split():
+            if tok != "--eqx":
+                raise ValueError(
+                    f"unsupported minimap_extra_params token {tok!r} "
+                    "(only --eqx, which is always on)"
+                )
+        k, w, gap, m, x, o1, e1, o2, e2, cnt, chain = table[preset]
+        return cls(
+            k=k,
+            w=w,
+            max_gap=gap,
+            bandwidth=min(gap, 500),
+            min_chain_cnt=cnt,
+            min_chain_score=chain,
+            scoring=ope.SrScoring(
+                match=m, mismatch=x,
+                gap_open1=o1, gap_ext1=e1, gap_open2=o2, gap_ext2=e2,
+            ),
+        )
 
 
 @dataclass

@@ -164,6 +164,13 @@ def cmd_build_index(args) -> None:
     )
 
 
+def cmd_index_sizes(args) -> None:
+    from phylign_tpu.utils.indexsizes import scan_index_sizes
+
+    n = scan_index_sizes(args.cobs_dir, args.out)
+    print(f"scanned {n} indexes -> {args.out}")
+
+
 def cmd_report(args) -> None:
     from phylign_tpu.utils.report import write_report
 
@@ -246,6 +253,12 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("report", help="HTML run report from logs + stats")
     p.add_argument("--workdir", default=".")
 
+    p = sub.add_parser(
+        "index-sizes", help="scan cobs/*.xz decompressed sizes (RAM scheduling table)"
+    )
+    p.add_argument("--cobs-dir", default="cobs")
+    p.add_argument("--out", default="data/decompressed_indexes_sizes.txt")
+
     args = ap.parse_args(argv)
     {
         "all": cmd_all,
@@ -258,6 +271,7 @@ def main(argv: list[str] | None = None) -> None:
         "test": cmd_test,
         "build-index": cmd_build_index,
         "report": cmd_report,
+        "index-sizes": cmd_index_sizes,
     }[args.cmd](args)
 
 

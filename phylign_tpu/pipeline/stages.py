@@ -54,7 +54,7 @@ from phylign_tpu.match.postprocess import (
 from phylign_tpu.models.matcher import Matcher
 from phylign_tpu.pipeline.manifest import Manifest, atomic_write_via
 from phylign_tpu.pipeline.scheduler import Job, Scheduler
-from phylign_tpu.utils.bench import benchmark
+from phylign_tpu.utils.bench import RamSampler, benchmark
 
 log = logging.getLogger("phylign_tpu.pipeline")
 
@@ -327,7 +327,9 @@ class Pipeline:
             return out
         with benchmark(self.logs, "batch_align", f"{batch}____{stem}"):
             queries = read_filtered_fasta(read_fastx_file(self.filter_path(stem)))
-            params = AlignParams()
+            params = AlignParams.from_preset(
+                self.cfg.minimap_preset, self.cfg.minimap_extra_params
+            )
             with self.sched.device_lock:
                 records = list(
                     align_batch(str(self.asms_path(batch)), queries, accessions, params)
@@ -397,6 +399,8 @@ class Pipeline:
         (the reference's `make all` minus download: Makefile:35-38)."""
         batches = self.batches()
         stem = self.preprocess(inputs)
+        sampler = RamSampler()
+        sampler.__enter__()
         with benchmark(self.logs, "match_total", stem):
             self.match(stem, batches)
             self.filter(stem, batches)
@@ -404,4 +408,9 @@ class Pipeline:
             self.align(stem, batches)
             self.aggregate(stem, batches)
             self.stats(stem)
+        sampler.__exit__()
+        (self.logs / "benchmarks").mkdir(parents=True, exist_ok=True)
+        (self.logs / "benchmarks" / "ram_usage.txt").write_text(
+            f"max_system_ram_delta_kb\t{sampler.max_delta_kb}\n"
+        )
         return self.out / f"{stem}.sam_summary.gz"

@@ -170,3 +170,39 @@ class TestLongQueries:
         assert sum(int(n) for n, op in ops if op in "=XIS") == 2000
         assert sum(int(n) for n, op in ops if op == "X") == 2
         assert by["readY"].pos == 101 and by["readY"].cigar == "150="
+
+
+class TestPresets:
+    def test_sr_default_matches(self):
+        p = engine.AlignParams.from_preset("sr", "--eqx")
+        assert (p.k, p.w) == (21, 11)
+        assert p.scoring.mismatch == 8
+
+    def test_long_read_preset(self):
+        p = engine.AlignParams.from_preset("map-ont")
+        assert (p.k, p.w, p.max_gap) == (15, 10, 5000)
+
+    def test_unknown_preset_rejected(self):
+        import pytest as _pt
+        with _pt.raises(ValueError, match="unsupported minimap preset"):
+            engine.AlignParams.from_preset("splice")
+        with _pt.raises(ValueError, match="extra_params"):
+            engine.AlignParams.from_preset("sr", "--secondary=yes")
+
+    def test_ont_alignment_works(self):
+        # a 1 kb "long read" with 5% errors via the map-ont preset
+        rng = np.random.default_rng(44)
+        contig = rand_seq(rng, 20000)
+        read = bytearray(contig[5000:6000])
+        for pos in rng.integers(0, 1000, 20):
+            read[pos] = ord("ACGT"[(read[pos] + 1) % 4])
+        import tempfile, pathlib
+        d = pathlib.Path(tempfile.mkdtemp())
+        tar = d / "ont__01.tar.xz"
+        asmtar.write_batch_tar(tar, [("SAMO0001", [("SAMO0001.c1", contig)])])
+        queries = [FilteredQuery("lr1", bytes(read).decode(), [("b", "SAMO0001", 500)])]
+        params = engine.AlignParams.from_preset("map-ont")
+        recs = list(engine.align_batch(str(tar), queries, None, params))
+        assert recs[0].flag == 0
+        assert recs[0].rname == "SAMO0001.c1"
+        assert recs[0].pos == 5001

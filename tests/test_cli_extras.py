@@ -73,3 +73,13 @@ class TestReport:
         out = capsys.readouterr().out
         html = (workdir / "report.html").read_text()
         assert "Output stats" in html or "Stage benchmarks" in html
+
+
+class TestIndexSizes:
+    def test_scan(self, workdir, tmp_path, capsys):
+        out = tmp_path / "sizes.txt"
+        main(["index-sizes", "--cobs-dir", str(workdir / "cobs"), "--out", str(out)])
+        lines = out.read_text().splitlines()
+        assert len(lines) == 2
+        name, size, mem = lines[0].split()
+        assert name.startswith("cobs/") and int(size) > 1000
