@@ -50,7 +50,8 @@ class SamRecord:
 
 
 def unmapped_record(qname: str, seq: str) -> SamRecord:
-    return SamRecord(qname, 4, "*", 0, 0, "*", seq, ["tp:A:P"])
+    # minimap2 emits unmapped records without optional tags
+    return SamRecord(qname, 4, "*", 0, 0, "*", seq, [])
 
 
 def write_batch_sam(path: str | os.PathLike, records: Iterable[SamRecord]) -> None:
