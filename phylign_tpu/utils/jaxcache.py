@@ -23,6 +23,13 @@ def enable(cache_dir: str | os.PathLike | None = None) -> None:
         return
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU executables cached via the remote-compile path carry the
+        # compile server's machine features; loading them on this host warns
+        # loudly and risks SIGILL. The cache only pays off for TPU compiles.
+        _enabled = True
+        return
+
     target = os.environ.get("JAX_COMPILATION_CACHE_DIR") or str(
         cache_dir or _DEFAULT
     )
