@@ -259,3 +259,78 @@ class TestCollectAnchorsBatch:
         ref = opm.build_ref_index("X", [("c", rand_codes(rng, 2000))])
         out = opm.collect_anchors_batch(ref, [], [], [], [])
         assert out == []
+
+
+class TestTracebackProperty:
+    """Random gapped/mutated reads: the traceback path must re-realize the
+    device's optimal score exactly (catches any reconstruction drift)."""
+
+    def test_score_roundtrip_random(self):
+        rng = np.random.default_rng(60)
+        scoring = ope.SrScoring()
+        for trial in range(12):
+            ref = rand_codes(rng, 500)
+            qlen = int(rng.integers(80, 160))
+            q = ref[64 : 64 + qlen].copy()
+            # random mutations
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, len(q)))
+                q[p] = (q[p] + int(rng.integers(1, 4))) % 4
+            # random small indel
+            if trial % 2 == 0 and len(q) > 40:
+                p = int(rng.integers(10, len(q) - 10))
+                glen = int(rng.integers(1, 4))
+                if trial % 4 == 0:
+                    q = np.delete(q, slice(p, p + glen))  # deletion from query = I? no: shorter query
+                else:
+                    ins = rand_codes(rng, glen)
+                    q = np.insert(q, p, ins)
+            res = run_extend(q, ref)
+            cig, start_d = ope.traceback_one(
+                np.asarray(res.p_plane[0]), q, len(q), ref[: len(q) + ope.BAND],
+                int(res.end_d[0]),
+            )
+            # recompute score from the cigar path
+            score = 0.0
+            i, j = 0, start_d  # query pos, window pos
+            for n, op in cig:
+                if op in "=X":
+                    for _ in range(n):
+                        score += scoring.match if q[i] == ref[j] else -scoring.mismatch
+                        i += 1
+                        j += 1
+                elif op == "I":
+                    score -= min(
+                        scoring.gap_open1 + n * scoring.gap_ext1,
+                        scoring.gap_open2 + n * scoring.gap_ext2,
+                    )
+                    i += n
+                elif op == "D":
+                    score -= min(
+                        scoring.gap_open1 + n * scoring.gap_ext1,
+                        scoring.gap_open2 + n * scoring.gap_ext2,
+                    )
+                    j += n
+            assert i == len(q), (trial, cig)
+            assert abs(score - float(res.score[0])) < 1e-2, (trial, cig, score, float(res.score[0]))
+
+
+class TestAlignerModel:
+    def test_align_step_runs(self):
+        import jax.numpy as jnp
+        from phylign_tpu.models.aligner import align_step
+
+        rng = np.random.default_rng(61)
+        P, A, L = 8, 16, 64
+        qp = np.tile(np.arange(0, A * 4, 4, np.int32), (P, 1))
+        rp = qp + 100
+        q = rng.integers(0, 4, (P, L)).astype(np.uint8)
+        rw = rng.integers(0, 4, (P, L + ope.BAND)).astype(np.uint8)
+        out = align_step(
+            jnp.asarray(rp), jnp.asarray(qp), jnp.asarray(q),
+            jnp.full(P, L, jnp.int32), jnp.asarray(rw),
+            jnp.ones((P, L + ope.BAND), bool),
+        )
+        assert out.chain.count.shape == (P,)
+        assert int(out.chain.count[0]) == A
+        assert out.align_score.shape == (P,)
