@@ -188,13 +188,23 @@ def cmd_fixture(args) -> None:
 
 
 def cmd_test(args) -> None:
-    from phylign_tpu.testing import run_golden_test
+    if args.golden:
+        from phylign_tpu.testing import run_reference_golden_test
 
-    ok = run_golden_test(Path(args.workdir))
-    if ok:
-        print("test PASSED: sam_summary columns 1-3 match the fixture oracle")
+        ok = run_reference_golden_test(
+            Path(args.workdir), args.golden, args.batches or "data/batches_small.txt",
+            args.queries or None,
+        )
+        oracle = "reference golden file"
     else:
-        sys.exit("test FAILED: sam_summary differs from the fixture oracle")
+        from phylign_tpu.testing import run_golden_test
+
+        ok = run_golden_test(Path(args.workdir))
+        oracle = "fixture oracle"
+    if ok:
+        print(f"test PASSED: sam_summary columns 1-3 match the {oracle}")
+    else:
+        sys.exit(f"test FAILED: sam_summary differs from the {oracle}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -240,8 +250,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--n-batches", type=int, default=3)
     p.add_argument("--seed", type=int, default=42)
 
-    p = sub.add_parser("test", help="run the synthetic golden test")
+    p = sub.add_parser("test", help="run the golden test (synthetic by default)")
     p.add_argument("--workdir", default=".")
+    p.add_argument("--golden", help="real golden sam_summary(.xz) to diff against")
+    p.add_argument("--batches", help="batches file for --golden mode")
+    p.add_argument("queries", nargs="*", help="query files for --golden mode")
 
     p = sub.add_parser("build-index", help="build a .cobs_classic from a batch tar.xz")
     p.add_argument("tar")

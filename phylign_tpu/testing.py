@@ -202,6 +202,40 @@ def make_fixture(
     return created
 
 
+def run_reference_golden_test(
+    workdir: Path,
+    golden_xz: str | Path,
+    batches_file: str | Path,
+    inputs: list[str],
+) -> bool:
+    """The reference's `make test` oracle against REAL data: run the pipeline
+    on the given batches (cobs/ + asms/ must be pre-downloaded under workdir)
+    with nb_best_hits=1 and diff columns 1-3 of the output against a golden
+    sam_summary (ref: /root/reference/Makefile:40-55; golden file:
+    data/reads_1___reads_2___reads_3___reads_4.sam_summary.xz). Requires the
+    Zenodo artifacts, so it cannot run in a network-less environment — the
+    synthetic run_golden_test covers CI there."""
+    from phylign_tpu.config import Config
+    from phylign_tpu.io.sam import summary_first3
+    from phylign_tpu.pipeline.stages import Pipeline
+
+    cfg = Config(batches=str(batches_file), nb_best_hits=1)
+    pl = Pipeline(cfg, workdir)
+    out = pl.run_all(inputs)
+    got = [t for t in summary_first3(out) if len(t) == 3]
+    want = [t for t in summary_first3(golden_xz) if len(t) == 3]
+    if got != want:
+        import sys
+
+        gs, ws = set(got), set(want)
+        sys.stderr.write(
+            f"golden mismatch: {len(ws - gs)} missing, {len(gs - ws)} extra, "
+            f"{len(got)} vs {len(want)} records\n"
+        )
+        return False
+    return True
+
+
 def run_golden_test(workdir: Path) -> bool:
     """Build fixture (if absent), run the pipeline, diff columns 1-3."""
     from phylign_tpu.config import Config

@@ -83,3 +83,37 @@ class TestIndexSizes:
         assert len(lines) == 2
         name, size, mem = lines[0].split()
         assert name.startswith("cobs/") and int(size) > 1000
+
+
+class TestReferenceGoldenMode:
+    def test_golden_diff_mode(self, tmp_path):
+        import lzma, shutil
+        from phylign_tpu.testing import make_fixture, run_reference_golden_test
+
+        wd = tmp_path / "wd"
+        make_fixture(wd, n_batches=2, seed=5)
+        inputs = sorted(str(p) for p in (wd / "input").iterdir())
+        # first run produces the output we snapshot as "the golden file"
+        from phylign_tpu.config import Config
+        from phylign_tpu.pipeline.stages import Pipeline
+
+        cfg = Config.from_yaml(wd / "config.yaml")
+        pl = Pipeline(cfg, wd)
+        out = pl.run_all(inputs)
+        golden = tmp_path / "golden.sam_summary.gz"
+        shutil.copy(out, golden)
+        # clean state, re-run through the reference-golden path
+        shutil.rmtree(wd / "intermediate")
+        shutil.rmtree(wd / "output")
+        assert run_reference_golden_test(
+            wd, golden, wd / "data" / "batches_small.txt", inputs
+        )
+        # corrupt the golden -> must FAIL
+        with lzma.open(tmp_path / "bad.sam_summary.xz", "wt") as f:
+            f.write("zz\t0\tnope\n")
+        shutil.rmtree(wd / "intermediate")
+        shutil.rmtree(wd / "output")
+        assert not run_reference_golden_test(
+            wd, tmp_path / "bad.sam_summary.xz",
+            wd / "data" / "batches_small.txt", inputs,
+        )
