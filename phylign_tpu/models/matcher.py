@@ -48,7 +48,12 @@ def match_step(
 
 @dataclass
 class Matcher:
-    """Device-resident match model for one batch index."""
+    """Device-resident match model for one batch index.
+
+    With a mesh (multi-chip), the word-column axis is sharded over the mesh's
+    doc axis and scoring runs via parallel.dist with zero communication;
+    row-index inputs are sharded over the query axis.
+    """
 
     term_size: int
     num_hashes: int
@@ -56,22 +61,36 @@ class Matcher:
     doc_names: list[str]
     words: jax.Array  # uint32 [S+1, Wp] on device
     use_pallas: bool | None = None
+    mesh: object | None = None  # jax.sharding.Mesh or None
 
     @classmethod
     def from_device_index(
-        cls, didx: DeviceIndex, use_pallas: bool | None = None
+        cls,
+        didx: DeviceIndex,
+        use_pallas: bool | None = None,
+        mesh=None,
     ) -> "Matcher":
         from phylign_tpu.ops.match import LANE_WORDS
 
         lane = LANE_WORDS if use_pallas else 8
+        if mesh is not None:
+            # every doc shard needs equal lane-aligned word columns
+            lane = max(lane, 8) * mesh.shape["d"]
         padded = pad_device_words(np.asarray(didx.words), lane_words=lane)
+        if mesh is None:
+            words = jnp.asarray(padded)
+        else:
+            from phylign_tpu.parallel.mesh import words_sharding
+
+            words = jax.device_put(padded, words_sharding(mesh))
         return cls(
             term_size=didx.term_size,
             num_hashes=didx.num_hashes,
             signature_size=didx.signature_size,
             doc_names=didx.doc_names,
-            words=jnp.asarray(padded),
+            words=words,
             use_pallas=use_pallas,
+            mesh=mesh,
         )
 
     @property
@@ -117,17 +136,30 @@ class Matcher:
         d = len(self.doc_names)
         scores = np.zeros((len(seqs), d), np.int32)
         if seg_rows:
+            n_real = len(seg_rows)
+            if self.mesh is not None:
+                # segment count must divide the query mesh axis; pad with
+                # empty (all-padding-row) segments
+                nq = self.mesh.shape["q"]
+                for _ in range((-n_real) % nq):
+                    seg_rows.append(np.empty((0, self.num_hashes), np.int64))
             # bucket the packed k-mer axis to multiples of 64 to bound the
             # number of distinct jit shapes
             k_pack = min(k_max, round_up(max(r.shape[0] for r in seg_rows), 64))
             packed, _ = pack_row_indices(
                 seg_rows, k_pack, self.pad_row, self.num_hashes
             )
-            seg_scores = np.asarray(
-                match_scores(
+            if self.mesh is not None:
+                from phylign_tpu.parallel.dist import dist_match_scores
+
+                dev_scores = dist_match_scores(
+                    self.mesh, self.words, jnp.asarray(packed)
+                )
+            else:
+                dev_scores = match_scores(
                     self.words, jnp.asarray(packed), use_pallas=self.use_pallas
                 )
-            )[:, :d]
+            seg_scores = np.asarray(dev_scores)[:n_real, :d]
             np.add.at(scores, np.asarray(owner), seg_scores)
         keep = (scores >= threshold * np.maximum(n_kmers, 1)[:, None]) & (
             n_kmers[:, None] > 0

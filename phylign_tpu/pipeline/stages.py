@@ -105,6 +105,27 @@ class Pipeline:
                   "04_filter", "05_map"):
             (self.inter / d).mkdir(parents=True, exist_ok=True)
         self.out.mkdir(parents=True, exist_ok=True)
+        self._mesh = None  # built lazily from cfg.mesh_shape
+
+    def mesh(self):
+        """The device mesh for sharded matching, or None for single-chip
+        (cfg.mesh_shape '1x1'). Built lazily so CPU-only commands never touch
+        the device."""
+        if self.cfg.mesh_shape in ("1x1", "", None):
+            return None
+        if self._mesh is None:
+            import jax
+
+            from phylign_tpu.parallel.mesh import make_mesh, parse_mesh_shape
+
+            nd, nq = parse_mesh_shape(self.cfg.mesh_shape)
+            if nd * nq > len(jax.devices()):
+                raise ValueError(
+                    f"mesh_shape {self.cfg.mesh_shape} needs {nd * nq} devices, "
+                    f"have {len(jax.devices())}"
+                )
+            self._mesh = make_mesh(nd, nq)
+        return self._mesh
 
     # --- paths ---------------------------------------------------------------
 
@@ -227,7 +248,7 @@ class Pipeline:
         if not use_device:
             return [QueryMatches(r.name, 0, []) for r in records]
         with self.sched.device_lock:
-            matcher = Matcher.from_device_index(didx)
+            matcher = Matcher.from_device_index(didx, mesh=self.mesh())
             chunk = self.cfg.device_query_chunk
             names = np.asarray(didx.doc_names)
             for off in range(0, len(records), chunk):

@@ -69,3 +69,41 @@ class TestDistMatch:
         assert out["chain_count"].shape == (16,)
         assert out["align_score"].shape == (16,)
         assert int(out["chain_count"][0]) == 8  # colinear anchors all chain
+
+
+class TestMeshPipeline:
+    def test_pipeline_with_mesh_matches_single_device(self, tmp_path):
+        """Full pipeline with mesh_shape=4x2 on the 8-CPU-device mesh must
+        produce the identical sam_summary as the single-device run."""
+        from phylign_tpu import testing as fixture_mod
+        from phylign_tpu.config import Config
+        from phylign_tpu.io.sam import summary_first3
+        from phylign_tpu.pipeline.stages import Pipeline
+
+        results = {}
+        for mesh_shape in ("1x1", "4x2"):
+            wd = tmp_path / mesh_shape.replace("x", "_")
+            fixture_mod.make_fixture(wd, n_batches=2, seed=21)
+            cfg = Config.from_yaml(wd / "config.yaml").with_overrides(
+                mesh_shape=mesh_shape
+            )
+            pl = Pipeline(cfg, wd)
+            inputs = sorted(str(p) for p in (wd / "input").iterdir())
+            out = pl.run_all(inputs)
+            results[mesh_shape] = summary_first3(out)
+        # banners embed tmp paths; compare record rows + banner batch names
+        assert results["1x1"] == results["4x2"]
+
+    def test_mesh_too_big_rejected(self, tmp_path):
+        from phylign_tpu import testing as fixture_mod
+        from phylign_tpu.config import Config
+        from phylign_tpu.pipeline.stages import Pipeline
+
+        wd = tmp_path / "big"
+        fixture_mod.make_fixture(wd, n_batches=1, seed=22)
+        cfg = Config.from_yaml(wd / "config.yaml").with_overrides(mesh_shape="16x2")
+        pl = Pipeline(cfg, wd)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="devices"):
+            pl.mesh()
