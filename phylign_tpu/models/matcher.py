@@ -46,6 +46,21 @@ def match_step(
     return scores, keep
 
 
+def device_index_bytes(
+    didx: DeviceIndex, use_pallas: bool | None = None, mesh=None
+) -> int:
+    """Exact device footprint of the padded word matrix an index will occupy
+    once uploaded (mirrors from_device_index's padding choice). Used by the
+    pipeline's HBM accountant to admit overlapping index uploads."""
+    from phylign_tpu.ops.match import LANE_WORDS
+
+    lane = LANE_WORDS if use_pallas else 8
+    if mesh is not None:
+        lane = max(lane, 8) * mesh.shape["d"]
+    wp = round_up(max(didx.num_words, 1), lane)
+    return (didx.signature_size + 1) * wp * 4
+
+
 @dataclass
 class Matcher:
     """Device-resident match model for one batch index.

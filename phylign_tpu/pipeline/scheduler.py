@@ -76,11 +76,17 @@ class Scheduler:
         workers: int,
         max_ram_mb: int,
         max_io_heavy: int,
+        hbm_mb: int = 12 * 1024,
     ):
         self.workers = max(1, workers)
         self.ram = RamPool(max_ram_mb)
         self.io_sem = threading.Semaphore(max(1, max_io_heavy))
         self.device_lock = threading.Lock()
+        # Device-memory accountant: index uploads reserve HBM bytes *before*
+        # device_put, so an upload can overlap another batch's scoring (both
+        # proceed on-device thanks to async dispatch) without over-committing
+        # HBM. The device_lock then only serializes compute submissions.
+        self.hbm = RamPool(hbm_mb)
 
     def run(self, jobs: list[Job]) -> dict[str, Any]:
         """Run all jobs; returns name -> result. Raises the first error after

@@ -100,6 +100,7 @@ class Pipeline:
             workers=config.effective_threads(),
             max_ram_mb=config.max_ram_gb * 1024,
             max_io_heavy=config.max_io_heavy_threads,
+            hbm_mb=int(config.device_hbm_gb * 1024),
         )
         for d in ("00_queries_preprocessed", "01_queries_merged", "03_match",
                   "04_filter", "05_map"):
@@ -242,28 +243,42 @@ class Pipeline:
     def _score_batch(
         self, didx: cobs_io.DeviceIndex, records: list[FastxRecord]
     ) -> list[QueryMatches]:
-        """Score all queries against one batch index, device-chunked."""
+        """Score all queries against one batch index, device-chunked.
+
+        The index upload (device_put, async) runs OUTSIDE the device lock so
+        the next batch's H2D transfer overlaps the current batch's scoring
+        compute — through this environment's relay the upload is the dominant
+        per-batch device cost. The HBM accountant bounds how many indexes are
+        resident at once."""
         use_device = didx.num_docs > 0 and len(records) > 0
         matches: list[QueryMatches] = []
         if not use_device:
             return [QueryMatches(r.name, 0, []) for r in records]
-        with self.sched.device_lock:
-            matcher = Matcher.from_device_index(didx, mesh=self.mesh())
+        from phylign_tpu.models.matcher import device_index_bytes
+
+        mesh = self.mesh()
+        hbm_mb = max(1, device_index_bytes(didx, mesh=mesh) // 1_000_000)
+        self.sched.hbm.acquire(hbm_mb)
+        try:
+            matcher = Matcher.from_device_index(didx, mesh=mesh)
             chunk = self.cfg.device_query_chunk
             names = np.asarray(didx.doc_names)
-            for off in range(0, len(records), chunk):
-                part = records[off : off + chunk]
-                seqs = [r.seq.encode() for r in part]
-                scores, keep, n_kmers = matcher.score(
-                    seqs, self.cfg.cobs_kmer_thres
-                )
-                for i, rec in enumerate(part):
-                    hit_idx = np.nonzero(keep[i])[0]
-                    hits = [
-                        (str(names[d]), int(scores[i, d])) for d in hit_idx
-                    ]
-                    hits.sort(key=lambda x: (-x[1], x[0]))
-                    matches.append(QueryMatches(rec.name, len(hits), hits))
+            with self.sched.device_lock:
+                for off in range(0, len(records), chunk):
+                    part = records[off : off + chunk]
+                    seqs = [r.seq.encode() for r in part]
+                    scores, keep, n_kmers = matcher.score(
+                        seqs, self.cfg.cobs_kmer_thres
+                    )
+                    for i, rec in enumerate(part):
+                        hit_idx = np.nonzero(keep[i])[0]
+                        hits = [
+                            (str(names[d]), int(scores[i, d])) for d in hit_idx
+                        ]
+                        hits.sort(key=lambda x: (-x[1], x[0]))
+                        matches.append(QueryMatches(rec.name, len(hits), hits))
+        finally:
+            self.sched.hbm.release(hbm_mb)
         return matches
 
     def match(self, stem: str, batches: list[str] | None = None) -> list[Path]:

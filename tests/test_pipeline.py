@@ -64,6 +64,11 @@ class TestEndToEnd:
         assert rows[0].startswith("real(s)")
         assert len(rows) >= 2
 
+    def test_hbm_accountant_balanced(self, run):
+        # index uploads reserve HBM bytes and must all be released after a run
+        workdir, pl, out = run
+        assert pl.sched.hbm.free == pl.sched.hbm.total
+
 
 class TestGoldenTestEntry:
     def test_run_golden_test(self, tmp_path):
