@@ -19,6 +19,7 @@ the golden file's flag set.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Iterator, Sequence
 
@@ -152,6 +153,72 @@ def _soft_clip_ends(cig: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return cig
 
 
+def _local_trim(
+    cig: list[tuple[int, str]], sc: ope.SrScoring
+) -> tuple[list[tuple[int, str]], int, float] | None:
+    """Trim a glocal alignment path to its max-scoring sub-path (local
+    semantics), soft-clipping the trimmed query bases.
+
+    minimap2 extends outward from the chain and stops on z-drop, so garbage
+    query ends (adapters, contig overhangs, the other half of a split read)
+    are clipped rather than forced into the alignment
+    (ref behavior: minimap2 -x sr as invoked at
+    /root/reference/scripts/batch_align.py:268-270). The banded DP here
+    aligns the full query; taking the best-scoring contiguous sub-path of
+    the optimal path reproduces the clipping in the cases that matter (the
+    good region's path is shared between both optima).
+
+    Returns (cigar with S ends, ref bases skipped before the alignment,
+    local score), or None when no positive-scoring interval exists.
+    """
+    ops: list[str] = []
+    step: list[float] = []
+    for n, op in cig:
+        if op == "=":
+            ops.extend("=" * n)
+            step.extend([float(sc.match)] * n)
+        elif op == "X":
+            ops.extend("X" * n)
+            step.extend([-float(sc.mismatch)] * n)
+        elif op in ("I", "D"):
+            tot = min(
+                sc.gap_open1 + n * sc.gap_ext1, sc.gap_open2 + n * sc.gap_ext2
+            )
+            ops.extend(op * n)
+            # distribute evenly: all strictly negative, so the optimal
+            # interval never starts or ends inside a gap run
+            step.extend([-tot / n] * n)
+        else:  # pragma: no cover - S never reaches here
+            raise ValueError(f"unexpected op {op!r}")
+    # Kadane: max-sum contiguous interval [s, e)
+    best = run = 0.0
+    best_s = best_e = run_s = 0
+    for i, v in enumerate(step):
+        if run <= 0.0:
+            run, run_s = v, i
+        else:
+            run += v
+        if run > best:
+            best, best_s, best_e = run, run_s, i + 1
+    if best_e <= best_s or best <= 0.0:
+        return None
+    lead, mid, tail = ops[:best_s], ops[best_s:best_e], ops[best_e:]
+    lead_q = sum(1 for o in lead if o in "=XI")
+    lead_r = sum(1 for o in lead if o in "=XD")
+    tail_q = sum(1 for o in tail if o in "=XI")
+    out: list[tuple[int, str]] = []
+    if lead_q:
+        out.append((lead_q, "S"))
+    for o in mid:
+        if out and out[-1][1] == o:
+            out[-1] = (out[-1][0] + 1, o)
+        else:
+            out.append((1, o))
+    if tail_q:
+        out.append((tail_q, "S"))
+    return out, lead_r, best
+
+
 def _cigar_str(cig: list[tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cig)
 
@@ -205,19 +272,20 @@ def _diag_cigar(qc: np.ndarray, rseg: np.ndarray) -> list[tuple[int, str]]:
 
 def _extend_chunk(
     tasks: list[PairTask],
-    items: list[tuple[int, tuple]],
+    items: list[tuple[tuple[int, bool], tuple]],
     lmax: int,
     params: AlignParams,
-) -> dict[int, SamRecord]:
+) -> dict[tuple[int, bool], SamRecord]:
     """Banded extension + traceback for one length-bucketed chunk of chained
-    pairs. items: [(task idx, (score, strand, qs, qe, rs, re, s2))].
+    pairs. items: [((task idx, is_supplementary),
+    (score, strand, qs, qe, rs, re, s2))].
 
     Two device passes: a score-only pass for everything, then a traceback-
     plane pass ONLY for pairs whose optimal score cannot be realized gaplessly
     on the end diagonal. Short-read alignments are overwhelmingly gapless, so
     the expensive [P, L, BAND] plane transfer runs for a small remainder.
     """
-    records: dict[int, SamRecord] = {}
+    records: dict[tuple[int, bool], SamRecord] = {}
     p = _bucket_pairs(len(items))
     q_codes = np.zeros((p, lmax), np.uint8)
     q_len = np.zeros(p, np.int32)
@@ -225,7 +293,7 @@ def _extend_chunk(
     rvalid = np.zeros((p, lmax + ope.BAND), bool)
     w0s, contig_ids = [], []
     half = ope.BAND // 2
-    for i, (ti, (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+    for i, ((ti, _supp), (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         t = tasks[ti]
         ref = t.ref
         codes = t.sketch.rc_codes if strand else t.sketch.codes
@@ -255,9 +323,7 @@ def _extend_chunk(
     mis_s = params.scoring.mismatch
     gapped: list[int] = []  # chunk-local indices needing the plane pass
     cigars: dict[int, tuple[list[tuple[int, str]], int]] = {}
-    for i, (ti, meta_t) in enumerate(items):
-        if float(scores[i]) < params.scoring.min_dp_score:
-            continue
+    for i, (_key, meta_t) in enumerate(items):
         qlen = int(q_len[i])
         d = int(end_ds[i])
         qc = q_codes[i, :qlen]
@@ -292,19 +358,24 @@ def _extend_chunk(
             qlen = int(q_len[i])
             cig, start_d = ope.traceback_one(
                 p_planes[gj], q_codes[i], qlen, rwin[i], int(end_ds[i]),
-                params.scoring,
+                params.scoring, rvalid=rvalid[i],
             )
             cigars[i] = (cig, start_d)
 
-    for i, (ti, (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+    for i, ((ti, supp), (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         if i not in cigars:
             continue
         t = tasks[ti]
         sk, ref = t.sketch, t.ref
-        dp_score = float(scores[i])
         cig, start_d = cigars[i]
+        trimmed = _local_trim(cig, params.scoring)
+        if trimmed is None:
+            continue
+        cig, lead_r, dp_score = trimmed
+        if dp_score < params.scoring.min_dp_score:
+            continue
         cig = _soft_clip_ends(cig)
-        gstart = w0s[i] + start_d
+        gstart = w0s[i] + start_d + lead_r
         c = contig_ids[i]
         pos = gstart - int(ref.contig_starts[c]) + 1
         n_x = sum(n for n, op in cig if op == "X")
@@ -316,9 +387,10 @@ def _extend_chunk(
         de = round(nm / max(1, blen), 4)
         mapq = _mapq(csc, s2)
         seq = decode_seq(sk.rc_codes).decode() if strand else sk.seq
-        records[ti] = SamRecord(
+        flag = (16 if strand else 0) | (2048 if supp else 0)
+        records[(ti, supp)] = SamRecord(
             qname=sk.name,
-            flag=16 if strand else 0,
+            flag=flag,
             rname=ref.contig_names[c],
             pos=pos,
             mapq=mapq,
@@ -353,50 +425,63 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
                 anchor_sets.append(an)
                 meta.append((ti, strand))
 
-    best: dict[int, tuple[float, int, int, int, int, int, float]] = {}
-    # ti -> (score, strand, qs, qe, rs, re, s2)
+    # ti -> [(score, strand, qs, qe, rs, re, count)] candidate chains
+    cands: dict[int, list[tuple[float, int, int, int, int, int, int]]] = {}
     if anchor_sets:
         res = _chain_pairs(anchor_sets, params)
         # one bulk device->host transfer: per-element float()/int() on JAX
         # arrays costs a full dispatch round-trip EACH (~28 ms on the axon
         # relay — measured 172 s of 279 s for a 1024-pair batch)
-        c_score, c_count, c_qs, c_qe, c_rs, c_re = (
-            np.asarray(res.score),
-            np.asarray(res.count),
-            np.asarray(res.qs),
-            np.asarray(res.qe),
-            np.asarray(res.rs),
-            np.asarray(res.re),
-        )
+        cols = [
+            (res.score, res.count, res.qs, res.qe, res.rs, res.re),
+            (res.score2, res.count2, res.qs2, res.qe2, res.rs2, res.re2),
+        ]
+        host = [[np.asarray(a) for a in group] for group in cols]
         for i, (ti, strand) in enumerate(meta):
-            sc = float(c_score[i])
-            cnt = int(c_count[i])
-            if cnt < params.min_chain_cnt or sc < params.min_chain_score:
-                continue
-            prev = best.get(ti)
-            if prev is None or sc > prev[0]:
-                s2 = prev[0] if prev is not None else 0.0
-                best[ti] = (
-                    sc,
-                    strand,
-                    int(c_qs[i]),
-                    int(c_qe[i]),
-                    int(c_rs[i]),
-                    int(c_re[i]),
-                    s2,
+            for c_score, c_count, c_qs, c_qe, c_rs, c_re in host:
+                sc = float(c_score[i])
+                cnt = int(c_count[i])
+                if cnt < params.min_chain_cnt or sc < params.min_chain_score:
+                    continue
+                cands.setdefault(ti, []).append(
+                    (
+                        sc,
+                        strand,
+                        int(c_qs[i]),
+                        int(c_qe[i]),
+                        int(c_rs[i]),
+                        int(c_re[i]),
+                        cnt,
+                    )
                 )
-            else:
-                old = best[ti]
-                best[ti] = old[:6] + (max(old[6], sc),)
 
-    chained = sorted(best.items())
-    records: dict[int, SamRecord] = {}
+    def _qov(a, b) -> float:
+        """Query-interval overlap as a fraction of the shorter interval."""
+        ov = max(0, min(a[3], b[3]) - max(a[2], b[2]))
+        span = max(1, min(a[3] - a[2], b[3] - b[2]))
+        return ov / span
+
+    # primary selection + split-read supplementary (minimap2 mask_level 0.5:
+    # a lower-scoring chain covering a mostly-disjoint query interval becomes
+    # a flag-2048 segment rather than being dropped)
+    chained: list[tuple[tuple[int, bool], tuple]] = []
+    for ti, cl in sorted(cands.items()):
+        cl.sort(key=lambda c: (-c[0], c[1], c[2]))
+        prim = cl[0]
+        rest = cl[1:]
+        s2 = max((c[0] for c in rest if _qov(c, prim) >= 0.5), default=0.0)
+        chained.append(((ti, False), prim[:6] + (s2,)))
+        supp = next((c for c in rest if _qov(c, prim) < 0.5), None)
+        if supp is not None:
+            chained.append(((ti, True), supp[:6] + (0.0,)))
+
+    records: dict[tuple[int, bool], SamRecord] = {}
     # group by query-length bucket and bound P*L so the extension's traceback
     # plane ([P, L, BAND] f32) stays within a fixed memory budget — long gene
     # queries (e.g. ARGannot, multi-kb) get smaller P per device call
     by_bucket: dict[int, list] = {}
     for item in chained:
-        ti = item[0]
+        ti = item[0][0]
         lb = _round_up(max(32, len(tasks[ti].sketch.codes)), 256)
         by_bucket.setdefault(lb, []).append(item)
     for lb, items in sorted(by_bucket.items()):
@@ -408,8 +493,40 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
 
     out = []
     for ti, t in enumerate(tasks):
-        out.append(records.get(ti) or unmapped_record(t.sketch.name, t.sketch.seq))
+        rec_p = records.get((ti, False))
+        rec_s = records.get((ti, True))
+        if rec_p is None and rec_s is not None:
+            # the better chain failed extension: the surviving segment IS the
+            # primary (minimap2 would have selected it the same way)
+            rec_p, rec_s = dataclasses.replace(rec_s, flag=rec_s.flag & ~2048), None
+        if rec_p is None:
+            out.append(unmapped_record(t.sketch.name, t.sketch.seq))
+            continue
+        out.append(rec_p)
+        if rec_s is not None:
+            out.append(_hard_clip(rec_s))
     return out
+
+
+def _hard_clip(rec: SamRecord) -> SamRecord:
+    """Soft clips -> hard clips + trimmed SEQ for a supplementary record
+    (minimap2's default supplementary output; -Y soft clipping not modeled)."""
+    import re as _re
+
+    runs = [(int(n), op) for n, op in _re.findall(r"(\d+)([A-Z=])", rec.cigar)]
+    lead = runs[0][0] if runs and runs[0][1] == "S" else 0
+    tail = runs[-1][0] if len(runs) > 1 and runs[-1][1] == "S" else 0
+    if not lead and not tail:
+        return rec
+    if lead:
+        runs[0] = (lead, "H")
+    if tail:
+        runs[-1] = (tail, "H")
+    return dataclasses.replace(
+        rec,
+        cigar=_cigar_str(runs),
+        seq=rec.seq[lead : len(rec.seq) - tail if tail else len(rec.seq)],
+    )
 
 
 def align_genome(

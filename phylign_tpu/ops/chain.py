@@ -47,6 +47,15 @@ class ChainResult(NamedTuple):
     qe: jax.Array  # int32 [P] query end (last anchor kmer start + k)
     rs: jax.Array  # int32 [P] ref start
     re: jax.Array  # int32 [P] ref end
+    # second-best chain whose query interval is mostly disjoint from the
+    # primary's (mask_level 0.5, minimap2's supplementary/split-read source);
+    # score2 < 0 when no such chain exists
+    score2: jax.Array  # f32 [P]
+    count2: jax.Array  # int32 [P]
+    qs2: jax.Array  # int32 [P]
+    qe2: jax.Array  # int32 [P]
+    rs2: jax.Array  # int32 [P]
+    re2: jax.Array  # int32 [P]
 
 
 @functools.partial(
@@ -102,28 +111,53 @@ def chain_anchors(
     f, parent = jax.lax.fori_loop(1, a, step, (f0, parent0))
     f = jnp.where(valid, f, neg)
 
-    end = jnp.argmax(f, axis=1).astype(jnp.int32)  # [P]
-    score = jnp.take_along_axis(f, end[:, None], axis=1)[:, 0]
-
-    def back(_, carry):
-        cur, cnt = carry
-        nxt = jnp.take_along_axis(parent, cur[:, None], axis=1)[:, 0]
+    # backtrack ALL chain ends at once: start anchor + count for every slot
+    def back_all(_, carry):
+        cur, cnt = carry  # [P, A]
+        nxt = jnp.take_along_axis(parent, cur, axis=1)
         has = nxt >= 0
         cur = jnp.where(has, nxt, cur)
         cnt = cnt + has.astype(jnp.int32)
         return cur, cnt
 
-    start, cnt = jax.lax.fori_loop(
-        0, a, back, (end, jnp.ones(p, jnp.int32))
+    ends_all = jnp.broadcast_to(
+        jnp.arange(a, dtype=jnp.int32)[None, :], (p, a)
     )
+    start_all, cnt_all = jax.lax.fori_loop(
+        0, a, back_all, (ends_all, jnp.ones((p, a), jnp.int32))
+    )
+    qs_all = jnp.take_along_axis(qpos, start_all, axis=1)  # [P, A]
+    qe_all = qpos + k  # end anchor of slot i is i itself
+    rs_all = jnp.take_along_axis(rpos, start_all, axis=1)
+
+    end = jnp.argmax(f, axis=1).astype(jnp.int32)  # [P]
     take = lambda arr, idx: jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    score = take(f, end)
+    qs1, qe1 = take(qs_all, end), take(qe_all, end)
+
+    # best chain whose query interval overlaps the primary's by < 50% of the
+    # shorter interval (minimap2 mask_level): the split-read second segment
+    ov = jnp.maximum(
+        0,
+        jnp.minimum(qe_all, qe1[:, None]) - jnp.maximum(qs_all, qs1[:, None]),
+    ).astype(jnp.float32)
+    span = jnp.minimum(qe_all - qs_all, (qe1 - qs1)[:, None]).astype(jnp.float32)
+    disjoint = ov < 0.5 * span
+    f2 = jnp.where(disjoint & valid, f, neg)
+    end2 = jnp.argmax(f2, axis=1).astype(jnp.int32)
     return ChainResult(
         score=score,
-        count=cnt,
-        qs=take(qpos, start),
-        qe=take(qpos, end) + k,
-        rs=take(rpos, start),
+        count=take(cnt_all, end),
+        qs=qs1,
+        qe=qe1,
+        rs=take(rs_all, end),
         re=take(rpos, end) + k,
+        score2=take(f2, end2),
+        count2=take(cnt_all, end2),
+        qs2=take(qs_all, end2),
+        qe2=take(qe_all, end2),
+        rs2=take(rs_all, end2),
+        re2=take(rpos, end2) + k,
     )
 
 

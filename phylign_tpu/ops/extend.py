@@ -198,8 +198,13 @@ def traceback_one(
     rwin: np.ndarray,  # [L + BAND]
     end_d: int,
     scoring: SrScoring = SrScoring(),
+    rvalid: np.ndarray | None = None,  # [L + BAND] in-contig mask
 ) -> tuple[list[tuple[int, str]], int]:
     """Rebuild H/I/D from the stored P plane and walk the optimal path.
+
+    On score ties the diagonal move wins (match preferred over gap, the
+    minimap2 convention); this also yields the best locally-trimmable path
+    when a free-overhang start makes several glocal optima tie.
 
     Returns (cigar run-length list [(n, op)], start_d) where start_d is the
     band offset at query row 0 (alignment ref start = window_start + start_d).
@@ -233,15 +238,26 @@ def traceback_one(
                 # came from a deletion family
                 state = "D1" if abs(val - d1[i, d]) <= eps else "D2"
                 continue
-            # P = max(diag, I): disambiguate
+            # P = max(diag, I): disambiguate, diagonal first (ties -> match)
+            cell_ok = rvalid is None or rvalid[i + d]
+            match = cell_ok and q_codes[i] == rwin[i + d]
+            if cell_ok:
+                sub = (
+                    float(scoring.match) if match else -float(scoring.mismatch)
+                )
+                h_up = h[i - 1, d] if i > 0 else 0.0
+                if abs(pp[i, d] - (h_up + sub)) <= eps:
+                    ops.append(CIG_EQ if match else CIG_X)
+                    i -= 1
+                    state = "H"
+                    continue
             if abs(pp[i, d] - i1[i, d]) <= eps:
                 state = "I1"
                 continue
             if abs(pp[i, d] - i2[i, d]) <= eps:
                 state = "I2"
                 continue
-            # diagonal
-            match = q_codes[i] == rwin[i + d]
+            # diagonal (reached only without an rvalid mask, by elimination)
             ops.append(CIG_EQ if match else CIG_X)
             i -= 1
             state = "H"

@@ -206,3 +206,122 @@ class TestPresets:
         assert recs[0].flag == 0
         assert recs[0].rname == "SAMO0001.c1"
         assert recs[0].pos == 5001
+
+
+class TestLocalTrim:
+    """minimap2-style end clipping: the glocal path is trimmed to its
+    max-scoring sub-path, soft-clipping garbage query ends
+    (mm2 zdrop/extension behavior, batch_align.py:268-270 invocation)."""
+
+    def test_trim_helper_clean(self):
+        sc = engine.ope.SrScoring()
+        out = engine._local_trim([(150, "=")], sc)
+        assert out == ([(150, "=")], 0, 300.0)
+
+    def test_trim_helper_bad_tail(self):
+        sc = engine.ope.SrScoring()
+        cig = [(100, "="), (50, "X")]
+        out = engine._local_trim(cig, sc)
+        assert out == ([(100, "="), (50, "S")], 0, 200.0)
+
+    def test_trim_helper_bad_head_ref_skip(self):
+        sc = engine.ope.SrScoring()
+        cig = [(30, "X"), (120, "=")]
+        new, lead_r, score = engine._local_trim(cig, sc)
+        assert new == [(30, "S"), (120, "=")]
+        assert lead_r == 30  # X consumes ref: pos advances
+        assert score == 240.0
+
+    def test_trim_helper_all_garbage(self):
+        sc = engine.ope.SrScoring()
+        assert engine._local_trim([(150, "X")], sc) is None
+
+    def test_trim_gap_cost_dual_affine(self):
+        sc = engine.ope.SrScoring()
+        # 60= 10I 60=: gap cost min(12+10*2, 32+10*1) = 32
+        new, lead_r, score = engine._local_trim(
+            [(60, "="), (10, "I"), (60, "=")], sc
+        )
+        assert new == [(60, "="), (10, "I"), (60, "=")]
+        assert score == pytest.approx(240.0 - 32.0)
+
+    def test_adapter_tail_soft_clipped(self):
+        # 110 genome bases + 40 bases of adapter garbage: mm2 clips the tail
+        rng = np.random.default_rng(77)
+        contig = rand_seq(rng, 4000)
+        read = contig[800:910] + rand_seq(rng, 40)
+        import tempfile, pathlib
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        tar = d / "clip__01.tar.xz"
+        asmtar.write_batch_tar(tar, [("SAMC0001", [("SAMC0001.c1", contig)])])
+        queries = [FilteredQuery("ad1", read.decode(), [("b", "SAMC0001", 80)])]
+        recs = list(engine.align_batch(str(tar), queries, None))
+        r = recs[0]
+        assert r.flag == 0
+        assert r.pos == 801
+        # extension may absorb coincidentally-matching adapter bases (just
+        # as minimap2's extension does) but must clip the garbage tail
+        import re
+
+        m = re.fullmatch(r"(\d+)=(\d+)S", r.cigar)
+        assert m, r.cigar
+        assert int(m.group(1)) >= 110
+        assert "NM:i:0" in r.tags
+
+    def test_contig_overhang_soft_clipped(self):
+        # read starts 30 bp before the contig: leading bases must soft-clip
+        rng = np.random.default_rng(78)
+        contig = rand_seq(rng, 3000)
+        read = rand_seq(rng, 30) + contig[:120]
+        import tempfile, pathlib
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        tar = d / "over__01.tar.xz"
+        asmtar.write_batch_tar(tar, [("SAMV0001", [("SAMV0001.c1", contig)])])
+        queries = [FilteredQuery("ov1", read.decode(), [("b", "SAMV0001", 80)])]
+        recs = list(engine.align_batch(str(tar), queries, None))
+        r = recs[0]
+        assert r.flag == 0
+        assert r.pos == 1
+        assert r.cigar == "30S120="
+
+
+class TestSupplementary:
+    """Split reads: two mostly-disjoint query segments mapping to distant
+    loci yield a primary plus a flag-2048 supplementary record (minimap2's
+    split-read output; the reference's golden set has none, so this covers
+    the adversarial-input contract)."""
+
+    @pytest.fixture(scope="class")
+    def split_records(self):
+        rng = np.random.default_rng(91)
+        contig = rand_seq(rng, 10000)
+        # left 80 bp from locus 1000, right 70 bp from locus 7000
+        read = contig[1000:1080] + contig[7000:7070]
+        import tempfile, pathlib
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        tar = d / "split__01.tar.xz"
+        asmtar.write_batch_tar(tar, [("SAMS0001", [("SAMS0001.c1", contig)])])
+        queries = [FilteredQuery("sp1", read.decode(), [("b", "SAMS0001", 100)])]
+        return list(engine.align_batch(str(tar), queries, None))
+
+    def test_two_records(self, split_records):
+        assert [r.qname for r in split_records] == ["sp1", "sp1"]
+        flags = sorted(r.flag for r in split_records)
+        assert flags[0] in (0, 16)
+        assert flags[1] & 2048
+
+    def test_primary_is_longer_segment(self, split_records):
+        prim = next(r for r in split_records if not r.flag & 2048)
+        assert prim.pos == 1001
+        assert prim.cigar.startswith("80=") or "80=" in prim.cigar
+
+    def test_supplementary_segment(self, split_records):
+        supp = next(r for r in split_records if r.flag & 2048)
+        assert supp.pos == 7001
+        # hard-clipped: SEQ is just the segment, clip op is H
+        assert "H" in supp.cigar
+        assert "S" not in supp.cigar
+        assert len(supp.seq) < 150
