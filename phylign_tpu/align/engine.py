@@ -116,16 +116,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bucket_pairs(n: int) -> int:
-    """Pad pair count to limit distinct jit shapes."""
-    return max(8, 1 << (n - 1).bit_length())
+def _bucket_pairs(n: int, q_mult: int = 1) -> int:
+    """Pad pair count to limit distinct jit shapes (and, with a mesh, to a
+    multiple of the query mesh axis so the pairs axis shards evenly)."""
+    p = max(8, 1 << (n - 1).bit_length())
+    return ((p + q_mult - 1) // q_mult) * q_mult
+
+
+def _mesh_q(mesh) -> int:
+    return 1 if mesh is None else mesh.shape["q"]
 
 
 def _chain_pairs(
-    anchor_sets: list[opm.Anchors], params: AlignParams
+    anchor_sets: list[opm.Anchors], params: AlignParams, mesh=None
 ) -> opc.ChainResult:
-    """Chain a list of anchor sets as one padded device call."""
-    p = _bucket_pairs(len(anchor_sets))
+    """Chain a list of anchor sets as one padded device call (dp-sharded
+    over the pairs axis when a mesh is given)."""
+    p = _bucket_pairs(len(anchor_sets), _mesh_q(mesh))
     a = params.max_anchors
     rpos = np.full((p, a), opc.PAD_POS, np.int32)
     qpos = np.full((p, a), opc.PAD_POS, np.int32)
@@ -133,13 +140,12 @@ def _chain_pairs(
         n = min(len(an.rpos), a)
         rpos[i, :n] = an.rpos[:n]
         qpos[i, :n] = an.qpos[:n]
-    return opc.chain_anchors(
-        jnp.asarray(rpos),
-        jnp.asarray(qpos),
-        k=params.k,
-        max_gap=params.max_gap,
-        bandwidth=params.bandwidth,
-    )
+    kw = dict(k=params.k, max_gap=params.max_gap, bandwidth=params.bandwidth)
+    if mesh is not None:
+        from phylign_tpu.parallel import dist
+
+        return dist.dist_chain(mesh, jnp.asarray(rpos), jnp.asarray(qpos), **kw)
+    return opc.chain_anchors(jnp.asarray(rpos), jnp.asarray(qpos), **kw)
 
 
 def _soft_clip_ends(cig: list[tuple[int, str]]) -> list[tuple[int, str]]:
@@ -275,6 +281,7 @@ def _extend_chunk(
     items: list[tuple[tuple[int, bool], tuple]],
     lmax: int,
     params: AlignParams,
+    mesh=None,
 ) -> dict[tuple[int, bool], SamRecord]:
     """Banded extension + traceback for one length-bucketed chunk of chained
     pairs. items: [((task idx, is_supplementary),
@@ -286,7 +293,7 @@ def _extend_chunk(
     the expensive [P, L, BAND] plane transfer runs for a small remainder.
     """
     records: dict[tuple[int, bool], SamRecord] = {}
-    p = _bucket_pairs(len(items))
+    p = _bucket_pairs(len(items), _mesh_q(mesh))
     q_codes = np.zeros((p, lmax), np.uint8)
     q_len = np.zeros(p, np.int32)
     rwin = np.zeros((p, lmax + ope.BAND), np.uint8)
@@ -315,7 +322,16 @@ def _extend_chunk(
     lj = jnp.asarray(q_len)
     rj = jnp.asarray(rwin)
     vj = jnp.asarray(rvalid)
-    sc_dev, end_dev = ope.extend_banded_scores(qj, lj, rj, vj, scoring=params.scoring)
+    if mesh is not None:
+        from phylign_tpu.parallel import dist
+
+        sc_dev, end_dev = dist.dist_extend_scores(
+            mesh, qj, lj, rj, vj, scoring=params.scoring
+        )
+    else:
+        sc_dev, end_dev = ope.extend_banded_scores(
+            qj, lj, rj, vj, scoring=params.scoring
+        )
     scores = np.asarray(sc_dev)
     end_ds = np.asarray(end_dev)
 
@@ -339,20 +355,25 @@ def _extend_chunk(
 
     if gapped:
         gi = np.asarray(gapped)
-        gp = _bucket_pairs(len(gapped))
+        gp = _bucket_pairs(len(gapped), _mesh_q(mesh))
 
         def pad(a):
             out = np.zeros((gp,) + a.shape[1:], a.dtype)
             out[: len(gi)] = a[gi]
             return out
 
-        ext = ope.extend_banded(
+        plane_args = (
             jnp.asarray(pad(q_codes)),
             jnp.asarray(pad(q_len)),
             jnp.asarray(pad(rwin)),
             jnp.asarray(pad(rvalid)),
-            scoring=params.scoring,
         )
+        if mesh is not None:
+            from phylign_tpu.parallel import dist
+
+            ext = dist.dist_extend(mesh, *plane_args, scoring=params.scoring)
+        else:
+            ext = ope.extend_banded(*plane_args, scoring=params.scoring)
         p_planes = np.asarray(ext.p_plane)
         for gj, i in enumerate(gapped):
             qlen = int(q_len[i])
@@ -412,9 +433,12 @@ def _extend_chunk(
     return records
 
 
-def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
+def flush_pairs(
+    tasks: list[PairTask], params: AlignParams, mesh=None
+) -> list[SamRecord]:
     """Chain + extend a pool of pairs (possibly spanning many genomes) as
-    fixed-shape device batches; emit one record per pair in pool order."""
+    fixed-shape device batches; emit one record per pair in pool order.
+    With a mesh, chain and extension run dp-sharded over the pairs axis."""
     if not tasks:
         return []
     anchor_sets: list[opm.Anchors] = []
@@ -428,7 +452,7 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
     # ti -> [(score, strand, qs, qe, rs, re, count)] candidate chains
     cands: dict[int, list[tuple[float, int, int, int, int, int, int]]] = {}
     if anchor_sets:
-        res = _chain_pairs(anchor_sets, params)
+        res = _chain_pairs(anchor_sets, params, mesh)
         # one bulk device->host transfer: per-element float()/int() on JAX
         # arrays costs a full dispatch round-trip EACH (~28 ms on the axon
         # relay — measured 172 s of 279 s for a 1024-pair batch)
@@ -488,7 +512,7 @@ def flush_pairs(tasks: list[PairTask], params: AlignParams) -> list[SamRecord]:
         max_p = max(8, MAX_EXT_CELLS // lb)
         for off in range(0, len(items), max_p):
             records.update(
-                _extend_chunk(tasks, items[off : off + max_p], lb, params)
+                _extend_chunk(tasks, items[off : off + max_p], lb, params, mesh)
             )
 
     out = []
@@ -534,13 +558,14 @@ def align_genome(
     contigs: list[tuple[str, np.ndarray]],
     sketches: Sequence[QuerySketch],
     params: AlignParams,
+    mesh=None,
 ) -> list[SamRecord]:
     """Align the given queries to one genome; one record per query
     (mapped primary or unmapped), in query order."""
     if not sketches:
         return []
     ref = opm.build_ref_index(rname, contigs, params.k, params.w)
-    return flush_pairs(make_pairs_batch(ref, list(sketches), params), params)
+    return flush_pairs(make_pairs_batch(ref, list(sketches), params), params, mesh)
 
 
 def _mapq(s1: float, s2: float) -> int:
@@ -557,6 +582,7 @@ def align_batch(
     queries: Sequence[FilteredQuery],
     batch_accessions: set[str] | None,
     params: AlignParams = AlignParams(),
+    mesh=None,
 ) -> Iterator[SamRecord]:
     """Align a batch: stream candidate genomes out of the tar and emit SAM
     records (mirrors batch_align.py map_queries_to_batch, device-batched).
@@ -586,6 +612,6 @@ def align_batch(
         pool.extend(make_pairs_batch(ref, sks, params))
         # flush pooled pairs (spanning genomes) once the device batch is full
         if len(pool) >= pair_chunk:
-            yield from flush_pairs(pool, params)
+            yield from flush_pairs(pool, params, mesh)
             pool = []
-    yield from flush_pairs(pool, params)
+    yield from flush_pairs(pool, params, mesh)

@@ -40,7 +40,7 @@ def shard_map(f, mesh, in_specs, out_specs):
         )
 
 from phylign_tpu.ops.chain import chain_anchors
-from phylign_tpu.ops.extend import SrScoring, extend_banded
+from phylign_tpu.ops.extend import SrScoring, extend_banded, extend_banded_scores
 from phylign_tpu.ops.match import match_scores_xla
 from phylign_tpu.parallel.mesh import AXIS_DOC, AXIS_QUERY
 
@@ -121,6 +121,26 @@ def dist_extend(mesh, q_codes, q_len, rwin, rvalid, scoring=SrScoring()):
             P(AXIS_QUERY, None),
         ),
         out_specs=P(AXIS_QUERY),
+    )(q_codes, q_len, rwin, rvalid)
+
+
+def dist_extend_scores(mesh, q_codes, q_len, rwin, rvalid, scoring=SrScoring()):
+    """Score-only banded extension data-parallel over 'q' (no traceback
+    plane): the align engine's common path for gapless short-read pairs."""
+
+    def step(qc, ql, rw, rv):
+        return extend_banded_scores(qc, ql, rw, rv, scoring=scoring)
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=(
+            P(AXIS_QUERY, None),
+            P(AXIS_QUERY),
+            P(AXIS_QUERY, None),
+            P(AXIS_QUERY, None),
+        ),
+        out_specs=(P(AXIS_QUERY), P(AXIS_QUERY)),
     )(q_codes, q_len, rwin, rvalid)
 
 

@@ -368,7 +368,13 @@ class Pipeline:
             )
             with self.sched.device_lock:
                 records = list(
-                    align_batch(str(self.asms_path(batch)), queries, accessions, params)
+                    align_batch(
+                        str(self.asms_path(batch)),
+                        queries,
+                        accessions,
+                        params,
+                        mesh=self.mesh(),
+                    )
                 )
             tmp, commit = atomic_write_via(out)
             write_batch_sam(tmp, records)
