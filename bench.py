@@ -1,6 +1,14 @@
 #!/usr/bin/env python3
 """Headline benchmark: match-stage throughput on one chip.
 
+``--e2e``: instead of the kernel metric, run the WHOLE pipeline (preprocess ->
+match -> filter -> align -> aggregate -> stats) twice on synthetic 2-batch
+fixtures — first pass warms the persistent compile cache, second pass is
+timed — and report end-to-end reads/s. The baseline divisor is the same
+pipeline forced onto the CPU backend (XLA-CPU + the same host code), i.e. a
+true device-vs-host comparison of this framework, not the reference's
+several-hour 661k-batch figure.
+
 Workload: one realistic batch index slice — S = 2M Bloom rows x 128 words
 (2169-doc batch geometry, ~1 GB packed), Q = 2048 queries x 128 k-mers —
 scored by the device match engine (gather + vertical popcount + threshold).
@@ -76,6 +84,60 @@ def cpu_baseline_throughput() -> float:
     return CPU_Q / dt * CPU_THREADS_CREDIT
 
 
+def _e2e_run(workdir, n_reads: int, seed: int) -> float:
+    """Build a perf fixture and run the full pipeline; returns seconds."""
+    from phylign_tpu import testing
+    from phylign_tpu.config import Config
+    from phylign_tpu.pipeline.stages import Pipeline
+
+    testing.make_perf_fixture(workdir, n_reads=n_reads, seed=seed)
+    cfg = Config.from_yaml(workdir / "config.yaml")
+    pl = Pipeline(cfg, workdir)
+    inputs = [str(workdir / "input" / "perf_reads.fq")]
+    t0 = time.perf_counter()
+    pl.run_all(inputs)
+    return time.perf_counter() - t0
+
+
+def e2e_main() -> None:
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    n_reads = 2048
+    if "--cpu-child" in sys.argv:
+        d = Path(tempfile.mkdtemp(prefix="phylign_e2e_cpu_"))
+        _e2e_run(d / "warm", n_reads, seed=100)
+        print(f"CPU_SECONDS {_e2e_run(d / 'timed', n_reads, seed=101)}")
+        return
+    d = Path(tempfile.mkdtemp(prefix="phylign_e2e_"))
+    _e2e_run(d / "warm", n_reads, seed=100)  # warm compiles + device claim
+    dt = _e2e_run(d / "timed", n_reads, seed=101)
+    # CPU baseline in a subprocess (backend choice is process-wide)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, __file__, "--e2e", "--cpu-child"],
+        capture_output=True,
+        text=True,
+        env={**env, "PYTHONPATH": str(Path(__file__).parent)},
+        check=True,
+    ).stdout
+    cpu_dt = float(next(l for l in out.splitlines() if l.startswith("CPU_SECONDS")).split()[1])
+    print(
+        json.dumps(
+            {
+                "metric": f"end-to-end pipeline reads/s (synthetic 2-batch fixture, Q={n_reads}, warm cache)",
+                "value": round(n_reads / dt, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(cpu_dt / dt, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     tpu = tpu_throughput()
     cpu = cpu_baseline_throughput()
@@ -92,4 +154,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--e2e" in sys.argv:
+        e2e_main()
+    else:
+        main()

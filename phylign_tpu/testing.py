@@ -266,3 +266,68 @@ def run_golden_test(workdir: Path) -> bool:
         sys.stderr.write("\n")
         return False
     return True
+
+
+def make_perf_fixture(
+    workdir: Path,
+    n_batches: int = 2,
+    genomes_per_batch: int = 32,
+    n_reads: int = 2048,
+    seed: int = 100,
+) -> None:
+    """A larger synthetic corpus for end-to-end throughput measurement
+    (bench.py --e2e): ``n_reads`` 150 bp reads sampled from random positions
+    of ``n_batches x genomes_per_batch`` genomes (half reverse-complemented,
+    1/64 unplanted), with the standard on-disk layout."""
+    rng = np.random.default_rng(seed)
+    workdir = Path(workdir)
+    for d in ("input", "data", "cobs", "asms"):
+        (workdir / d).mkdir(parents=True, exist_ok=True)
+
+    batches = [f"perf_{chr(ord('a') + b)}__01" for b in range(n_batches)]
+    genomes: dict[str, dict[str, bytes]] = {}
+    flat: list[tuple[str, bytes]] = []
+    for bi, batch in enumerate(batches):
+        gdict = {}
+        for g in range(genomes_per_batch):
+            acc = f"SAMP{bi:02d}{g:04d}"
+            gdict[acc] = _rand_seq(rng, int(rng.integers(20_000, 40_000)))
+            flat.append((acc, gdict[acc]))
+        genomes[batch] = gdict
+
+    with open(workdir / "input" / "perf_reads.fq", "w") as f:
+        for i in range(n_reads):
+            if i % 64 == 63:
+                seq = _rand_seq(rng, READ_LEN)  # unplanted
+            else:
+                _, gseq = flat[int(rng.integers(0, len(flat)))]
+                pos = int(rng.integers(0, len(gseq) - READ_LEN))
+                seq = gseq[pos : pos + READ_LEN]
+                if i % 2:
+                    from phylign_tpu.kmer import revcomp
+
+                    seq = revcomp(seq)
+            f.write(f"@pr{i:05d}\n{seq.decode()}\n+\n{'I' * READ_LEN}\n")
+
+    from phylign_tpu.io import asmtar
+    from phylign_tpu.io import cobs as cobs_io
+
+    for batch in batches:
+        docs = [(acc, [seq]) for acc, seq in sorted(genomes[batch].items())]
+        idx = cobs_io.build_classic_index(docs, term_size=31, fpr=0.01)
+        cobs_io.write_classic_index(
+            workdir / "cobs" / f"{batch}.cobs_classic.xz", idx
+        )
+        asmtar.write_batch_tar(
+            workdir / "asms" / f"{batch}.tar.xz",
+            [(acc, [(f"{acc}.c1", seq)]) for acc, seq in sorted(genomes[batch].items())],
+        )
+
+    (workdir / "data" / "batches_small.txt").write_text(
+        "".join(b + "\n" for b in batches)
+    )
+    (workdir / "config.yaml").write_text(
+        "batches: data/batches_small.txt\n"
+        "nb_best_hits: 5\n"
+        "cobs_kmer_thres: 0.7\n"
+    )
