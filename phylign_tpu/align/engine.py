@@ -267,13 +267,12 @@ MAX_EXT_CELLS = 1 << 20  # bound on P * L per extension call (plane ~512 MB)
 def _diag_cigar(qc: np.ndarray, rseg: np.ndarray) -> list[tuple[int, str]]:
     """Run-length =/X cigar for a gapless alignment along one diagonal."""
     neq = qc != rseg
-    cig: list[tuple[int, str]] = []
-    run_start = 0
-    for i in range(1, len(qc) + 1):
-        if i == len(qc) or neq[i] != neq[run_start]:
-            cig.append((i - run_start, "X" if neq[run_start] else "="))
-            run_start = i
-    return cig
+    bounds = np.flatnonzero(np.diff(neq))
+    edges = np.concatenate(([0], bounds + 1, [len(neq)]))
+    return [
+        (int(e - s), "X" if neq[s] else "=")
+        for s, e in zip(edges[:-1], edges[1:])
+    ]
 
 
 def _extend_chunk(

@@ -31,6 +31,10 @@ from phylign_tpu.version import __version__
 
 def _load_config(args) -> Config:
     p = Path(args.config)
+    if not p.exists() and not p.is_absolute():
+        wd = Path(getattr(args, "workdir", "."))
+        if (wd / p).exists():  # default config.yaml lives in the workdir
+            p = wd / p
     cfg = Config.from_yaml(p) if p.exists() else Config()
     over = {}
     if getattr(args, "batches", None):
@@ -122,18 +126,22 @@ def cmd_download(args) -> None:
 
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
+    only = getattr(args, "only", "all")
     for batch in pl.batches():
-        cobs_p, asms_p = pl.cobs_path(batch), pl.asms_path(batch)
-        if cobs_p.exists() and asms_p.exists():
+        need_cobs = only in ("all", "cobs") and not pl.cobs_path(batch).exists()
+        need_asms = only in ("all", "asms") and not pl.asms_path(batch).exists()
+        if not need_cobs and not need_asms:
             print(f"{batch}: already present")
             continue
+        want = "all" if (need_cobs and need_asms) else ("cobs" if need_cobs else "asms")
         download_batch(
             batch,
             Path(args.workdir) / cfg.download_dir,
             cfg.download_retries,
             cfg.download_retry_wait,
+            only=want,
         )
-        print(f"{batch}: downloaded")
+        print(f"{batch}: downloaded ({want})")
 
 
 def cmd_stats(args) -> None:
@@ -144,11 +152,25 @@ def cmd_stats(args) -> None:
 
 
 def cmd_clean(args) -> None:
-    for d in ("intermediate", "output", "logs"):
+    dirs = ["intermediate", "output", "logs"]
+    if getattr(args, "all", False):  # `make cleanall`: also drop downloads
+        dirs += ["cobs", "asms"]
+    for d in dirs:
         p = Path(args.workdir) / d
         if p.exists():
             shutil.rmtree(p)
             print(f"removed {p}")
+
+
+def cmd_config(args) -> None:
+    """Print the resolved configuration (the reference's `make config`,
+    ref: /root/reference/Makefile:102-107)."""
+    import dataclasses
+
+    import yaml
+
+    cfg = _load_config(args)
+    sys.stdout.write(yaml.safe_dump(dataclasses.asdict(cfg), sort_keys=False))
 
 
 def cmd_build_index(args) -> None:
@@ -236,7 +258,21 @@ def main(argv: list[str] | None = None) -> None:
     common(sub.add_parser("all", help="download + match + map"))
     common(sub.add_parser("match", help="k-mer match + filter"))
     common(sub.add_parser("map", help="align + aggregate + stats"))
-    common(sub.add_parser("download", help="fetch batches from Zenodo"), queries=False)
+    p = sub.add_parser("download", help="fetch batches from Zenodo")
+    common(p, queries=False)
+    p.add_argument(
+        "--only",
+        choices=["all", "cobs", "asms"],
+        default="all",
+        help="artifact kind (make download_cobs / download_asms)",
+    )
+
+    p = sub.add_parser("config", help="print the resolved configuration")
+    p.add_argument("--config", default="config.yaml")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--batches", help="batches list file override")
+    p.add_argument("--nb-best-hits", type=int, dest="nb_best_hits")
+    p.add_argument("--threshold", type=float, help="cobs_kmer_thres override")
 
     p = sub.add_parser("stats", help="recompute stats from a sam_summary")
     p.add_argument("summary")
@@ -244,6 +280,9 @@ def main(argv: list[str] | None = None) -> None:
 
     p = sub.add_parser("clean", help="remove intermediates and outputs")
     p.add_argument("--workdir", default=".")
+    p.add_argument(
+        "--all", action="store_true", help="also remove downloads (make cleanall)"
+    )
 
     p = sub.add_parser("fixture", help="generate a synthetic test fixture")
     p.add_argument("--workdir", default=".")
@@ -278,6 +317,7 @@ def main(argv: list[str] | None = None) -> None:
         "match": cmd_match,
         "map": cmd_map,
         "download": cmd_download,
+        "config": cmd_config,
         "stats": cmd_stats,
         "clean": cmd_clean,
         "fixture": cmd_fixture,

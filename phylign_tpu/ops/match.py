@@ -218,6 +218,132 @@ def match_scores_pallas(
     return out[:q].transpose(0, 2, 1).reshape(q, wp * 32)
 
 
+# --- Pallas TPU kernel v2: wave-issued DMAs + bit-sliced vertical popcount ---
+
+_V2_WAVE = 32  # rows per DMA wave (outstanding DMAs stays ~2 waves)
+_V2_QT = 8  # queries per grid step
+
+
+def _v2_kernel_body(
+    idx_ref,  # SMEM [QT, K]
+    words_hbm,  # ANY [S+1, Wp]
+    out_ref,  # VMEM [QT, 32, Wp] int32
+    banks,  # VMEM scratch [2, W, Wp] uint32
+    sems,  # DMA sems [2]
+    *,
+    k: int,
+    wave: int,
+    planes: int,
+):
+    """One query tile: gather K rows/query in interleaved waves (start wave
+    g+1 row-by-row while draining wave g), accumulating a bit-sliced vertical
+    popcount (carry-save ripple over ``planes`` bit planes per sublane).
+
+    Compute per row is ~2*planes VPU ops on [8, Wp] instead of the 32-pass
+    shift-unpack of v1, and the DMA pipeline keeps ~2*wave copies in flight.
+    """
+    wp = banks.shape[-1]
+    wpq = k // wave  # waves per query
+    nw = _V2_QT * wpq  # waves per grid step
+
+    def row_of(flat):
+        return idx_ref[flat // k, flat % k]
+
+    def copy(bank, slot, flat):
+        return pltpu.make_async_copy(
+            words_hbm.at[row_of(flat)], banks.at[bank, slot], sems.at[bank]
+        )
+
+    def start_wave(g, _=None):
+        def body(i, _):
+            copy(g % 2, i, g * wave + i).start()
+            return 0
+
+        jax.lax.fori_loop(0, wave, body, 0)
+
+    start_wave(0)
+
+    groups = wave // 8
+    shifts32 = None
+    for qi in range(_V2_QT):
+        c = [jnp.zeros((8, wp), jnp.uint32) for _ in range(planes)]
+        for wv in range(wpq):
+            g = qi * wpq + wv
+            b = g % 2
+
+            # drain wave g while issuing wave g+1 (bounded outstanding DMAs)
+            def pipe(i, _, g=g, b=b):
+                @pl.when(g + 1 < nw)
+                def _():
+                    copy(1 - b, i, (g + 1) * wave + i).start()
+
+                copy(b, i, g * wave + i).wait()
+                return 0
+
+            jax.lax.fori_loop(0, wave, pipe, 0)
+
+            # ripple-add each [8, Wp] row group into the bit planes
+            for gr in range(groups):
+                carry = banks[b, gr * 8 : (gr + 1) * 8, :]
+                for j in range(planes):
+                    t = c[j] & carry
+                    c[j] = c[j] ^ carry
+                    carry = t
+
+        # unpack: count(w*32+b) = sum_s sum_j 2^j * bit_b(c[j][s, w])
+        for bit in range(32):
+            val = jnp.zeros((8, wp), jnp.uint32)
+            for j in range(planes):
+                val = val + (((c[j] >> jnp.uint32(bit)) & jnp.uint32(1)) << j)
+            out_ref[qi, bit, :] = val.astype(jnp.int32).sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "wave"))
+def match_scores_pallas_v2(
+    words: jax.Array,
+    row_idx: jax.Array,
+    interpret: bool = False,
+    wave: int = _V2_WAVE,
+) -> jax.Array:
+    """Wave-pipelined Pallas path; same contract as match_scores_xla.
+    Requires H == 1 and K a multiple of ``wave`` (callers bucket K to 64)."""
+    if row_idx.ndim == 3:
+        assert row_idx.shape[2] == 1, "v2 kernel is single-hash only"
+        row_idx = row_idx[..., 0]
+    q, k = row_idx.shape
+    assert k % wave == 0 and wave % 8 == 0, (k, wave)
+    wp = words.shape[1]
+    assert wp % LANE_WORDS == 0, "pad words with pad_device_words first"
+    qp = round_up(q, _V2_QT)
+    if qp != q:
+        fill = jnp.full((qp - q, k), words.shape[0] - 1, row_idx.dtype)
+        row_idx = jnp.concatenate([row_idx, fill], axis=0)
+    # per-sublane counts reach k//8: need enough planes to hold that value
+    planes = max(1, int(np.ceil(np.log2(k // 8 + 1))))
+
+    grid_spec = pl.GridSpec(
+        grid=(qp // _V2_QT,),
+        in_specs=[
+            pl.BlockSpec((_V2_QT, k), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (_V2_QT, 32, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wave, wp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_v2_kernel_body, k=k, wave=wave, planes=planes),
+        out_shape=jax.ShapeDtypeStruct((qp, 32, wp), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(row_idx, words)
+    return out[:q].transpose(0, 2, 1).reshape(q, wp * 32)
+
+
 def match_scores(
     words: jax.Array, row_idx: jax.Array, use_pallas: bool | None = None
 ) -> jax.Array:

@@ -90,13 +90,19 @@ def download_batch(
     download_dir: str | os.PathLike,
     retries: int = 3,
     retry_wait: int = 10,
-) -> tuple[Path, Path]:
-    """Fetch both artifacts of one batch (cobs index + assemblies)."""
+    only: str = "all",
+) -> tuple[Path | None, Path | None]:
+    """Fetch one batch's artifacts; ``only`` in {all, cobs, asms} mirrors the
+    reference's download / download_cobs / download_asms targets
+    (ref: /root/reference/Makefile:84-91)."""
     d = Path(download_dir)
-    cobs = download_file(
-        cobs_url(batch), d / "cobs" / f"{batch}.cobs_classic.xz", retries, retry_wait
-    )
-    asms = download_file(
-        asms_url(batch), d / "asms" / f"{batch}.tar.xz", retries, retry_wait
-    )
+    cobs = asms = None
+    if only in ("all", "cobs"):
+        cobs = download_file(
+            cobs_url(batch), d / "cobs" / f"{batch}.cobs_classic.xz", retries, retry_wait
+        )
+    if only in ("all", "asms"):
+        asms = download_file(
+            asms_url(batch), d / "asms" / f"{batch}.tar.xz", retries, retry_wait
+        )
     return cobs, asms

@@ -117,3 +117,30 @@ class TestReferenceGoldenMode:
             wd, tmp_path / "bad.sam_summary.xz",
             wd / "data" / "batches_small.txt", inputs,
         )
+
+
+class TestConfigAndClean:
+    def test_config_prints_resolved(self, tmp_path, capsys):
+        wd = tmp_path / "cfg"
+        fixture_mod.make_fixture(wd, n_batches=1, seed=3)
+        main(["config", "--workdir", str(wd), "--nb-best-hits", "7"])
+        out = capsys.readouterr().out
+        assert "nb_best_hits: 7" in out
+        assert "batches: data/batches_small.txt" in out
+
+    def test_clean_all_removes_downloads(self, tmp_path, capsys):
+        wd = tmp_path / "cl"
+        fixture_mod.make_fixture(wd, n_batches=1, seed=4)
+        (wd / "output").mkdir(exist_ok=True)
+        main(["clean", "--workdir", str(wd)])
+        assert (wd / "cobs").exists()  # plain clean keeps downloads
+        main(["clean", "--workdir", str(wd), "--all"])
+        assert not (wd / "cobs").exists()
+        assert not (wd / "asms").exists()
+
+    def test_download_only_flag_parses(self, tmp_path, capsys):
+        # all artifacts already present -> no network touched
+        wd = tmp_path / "dl"
+        fixture_mod.make_fixture(wd, n_batches=1, seed=5)
+        main(["download", "--workdir", str(wd), "--only", "cobs"])
+        assert "already present" in capsys.readouterr().out

@@ -94,3 +94,41 @@ class TestPacking:
     def test_pack_row_indices_overflow(self):
         with pytest.raises(ValueError):
             opm.pack_row_indices([np.zeros((5, 1), np.int64)], 3, 99)
+
+
+class TestMatchScoresPallasV2:
+    """Wave-pipelined kernel vs the XLA reference, interpret mode."""
+
+    def test_interpret_matches_xla(self):
+        rng = np.random.default_rng(5)
+        s, wp, q, k = 512, opm.LANE_WORDS, 11, 64
+        words = np.zeros((s + 1, wp), np.uint32)
+        words[:s] = rng.integers(0, 2**32, (s, wp), dtype=np.uint32)
+        row_idx = rng.integers(0, s + 1, (q, k)).astype(np.int32)
+        want = np.asarray(opm.match_scores_xla(jnp.asarray(words), jnp.asarray(row_idx)))
+        got = opm.match_scores_pallas_v2(
+            jnp.asarray(words), jnp.asarray(row_idx), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_interpret_large_k_multi_wave(self):
+        rng = np.random.default_rng(6)
+        s, wp, q, k = 256, opm.LANE_WORDS, 8, 128  # 4 waves of 32 per query
+        words = np.zeros((s + 1, wp), np.uint32)
+        words[:s] = rng.integers(0, 2**32, (s, wp), dtype=np.uint32)
+        row_idx = rng.integers(0, s + 1, (q, k)).astype(np.int32)
+        want = np.asarray(opm.match_scores_xla(jnp.asarray(words), jnp.asarray(row_idx)))
+        got = opm.match_scores_pallas_v2(
+            jnp.asarray(words), jnp.asarray(row_idx), interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_padding_row_counts_zero(self):
+        s, wp, q, k = 64, opm.LANE_WORDS, 3, 32
+        words = np.zeros((s + 1, wp), np.uint32)
+        words[:s] = 0xFFFFFFFF
+        row_idx = np.full((q, k), s, np.int32)  # all padding row
+        got = opm.match_scores_pallas_v2(
+            jnp.asarray(words), jnp.asarray(row_idx), interpret=True
+        )
+        assert np.asarray(got).sum() == 0
