@@ -582,6 +582,7 @@ def align_batch(
     batch_accessions: set[str] | None,
     params: AlignParams = AlignParams(),
     mesh=None,
+    device_lock=None,
 ) -> Iterator[SamRecord]:
     """Align a batch: stream candidate genomes out of the tar and emit SAM
     records (mirrors batch_align.py map_queries_to_batch, device-batched).
@@ -589,7 +590,13 @@ def align_batch(
     queries: filtered queries (candidate accessions in .candidates).
     batch_accessions: the batch's own accession allow-list
     (ref: Snakefile:543-546), or None to accept all.
+    device_lock: optional lock serializing device submissions; held only
+    around the pooled flush, so tar streaming / ref indexing / anchor
+    collection of OTHER batches overlaps this batch's device work.
     """
+    import contextlib
+
+    _lk = device_lock if device_lock is not None else contextlib.nullcontext()
     rname_to_q: dict[str, list[int]] = {}
     sketch_cache: dict[int, QuerySketch] = {}
     for qi, fq in enumerate(queries):
@@ -611,6 +618,10 @@ def align_batch(
         pool.extend(make_pairs_batch(ref, sks, params))
         # flush pooled pairs (spanning genomes) once the device batch is full
         if len(pool) >= pair_chunk:
-            yield from flush_pairs(pool, params, mesh)
+            with _lk:
+                recs = flush_pairs(pool, params, mesh)
+            yield from recs
             pool = []
-    yield from flush_pairs(pool, params, mesh)
+    with _lk:
+        recs = flush_pairs(pool, params, mesh)
+    yield from recs

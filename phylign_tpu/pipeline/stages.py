@@ -366,16 +366,16 @@ class Pipeline:
             params = AlignParams.from_preset(
                 self.cfg.minimap_preset, self.cfg.minimap_extra_params
             )
-            with self.sched.device_lock:
-                records = list(
-                    align_batch(
-                        str(self.asms_path(batch)),
-                        queries,
-                        accessions,
-                        params,
-                        mesh=self.mesh(),
-                    )
+            records = list(
+                align_batch(
+                    str(self.asms_path(batch)),
+                    queries,
+                    accessions,
+                    params,
+                    mesh=self.mesh(),
+                    device_lock=self.sched.device_lock,
                 )
+            )
             tmp, commit = atomic_write_via(out)
             write_batch_sam(tmp, records)
             commit()
