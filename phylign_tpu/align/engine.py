@@ -293,29 +293,47 @@ def _extend_chunk(
     """
     records: dict[tuple[int, bool], SamRecord] = {}
     p = _bucket_pairs(len(items), _mesh_q(mesh))
+    n = len(items)
+    wlen = lmax + ope.BAND
     q_codes = np.zeros((p, lmax), np.uint8)
     q_len = np.zeros(p, np.int32)
-    rwin = np.zeros((p, lmax + ope.BAND), np.uint8)
-    rvalid = np.zeros((p, lmax + ope.BAND), bool)
-    w0s, contig_ids = [], []
+    rwin = np.zeros((p, wlen), np.uint8)
+    rvalid = np.zeros((p, wlen), bool)
     half = ope.BAND // 2
+    # per-item scalars first (cheap python), then one vectorized window gather
+    w0_arr = np.zeros(n, np.int64)
+    c_start_arr = np.zeros(n, np.int64)
+    c_end_arr = np.zeros(n, np.int64)
+    contig_ids: list[int] = []
+    ref_of: list[opm.RefIndex] = []
     for i, ((ti, _supp), (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         t = tasks[ti]
         ref = t.ref
         codes = t.sketch.rc_codes if strand else t.sketch.codes
         q_codes[i, : len(codes)] = codes
         q_len[i] = len(codes)
-        w0 = (rs - qs) - half
-        idx = w0 + np.arange(lmax + ope.BAND)
+        w0_arr[i] = (rs - qs) - half
         c, _ = ref.contig_of(max(0, min(rs, len(ref.codes) - 1)))
-        c_start = int(ref.contig_starts[c])
-        c_end = c_start + int(ref.contig_lens[c])
-        ok = (idx >= c_start) & (idx < c_end)
-        rwin[i] = ref.codes[np.clip(idx, 0, len(ref.codes) - 1)]
-        rwin[i][~ok] = 0
-        rvalid[i] = ok
-        w0s.append(w0)
+        c_start_arr[i] = int(ref.contig_starts[c])
+        c_end_arr[i] = c_start_arr[i] + int(ref.contig_lens[c])
         contig_ids.append(c)
+        ref_of.append(ref)
+    # group items by ref object so each genome's codes are gathered in one
+    # fancy-indexing call ([n_items_of_ref, wlen]) instead of per-item rows
+    by_ref: dict[int, list[int]] = {}
+    for i in range(n):
+        by_ref.setdefault(id(ref_of[i]), []).append(i)
+    span = np.arange(wlen)
+    for idxs in by_ref.values():
+        ii = np.asarray(idxs)
+        ref = ref_of[idxs[0]]
+        idx2 = w0_arr[ii, None] + span  # [m, wlen]
+        ok = (idx2 >= c_start_arr[ii, None]) & (idx2 < c_end_arr[ii, None])
+        vals = ref.codes[np.clip(idx2, 0, len(ref.codes) - 1)]
+        vals[~ok] = 0
+        rwin[ii] = vals
+        rvalid[ii] = ok
+    w0s = w0_arr
 
     qj = jnp.asarray(q_codes)
     lj = jnp.asarray(q_len)
