@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import glob
 import logging
+import os
 import shutil
 import sys
 from pathlib import Path
@@ -329,4 +330,18 @@ def main(argv: list[str] | None = None) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # Skip interpreter teardown: the TPU backend plugin's background threads
+    # abort (std::terminate) during normal exit in this environment, turning
+    # a passing run into SIGABRT. Results are flushed; exit immediately.
+    code = 0
+    try:
+        main()
+    except SystemExit as e:
+        if isinstance(e.code, int):
+            code = e.code
+        elif e.code is not None:
+            print(e.code, file=sys.stderr)
+            code = 1
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
