@@ -136,16 +136,29 @@ def _chain_pairs(
     a = params.max_anchors
     rpos = np.full((p, a), opc.PAD_POS, np.int32)
     qpos = np.full((p, a), opc.PAD_POS, np.int32)
+    qmax = 0
     for i, an in enumerate(anchor_sets):
         n = min(len(an.rpos), a)
         rpos[i, :n] = an.rpos[:n]
         qpos[i, :n] = an.qpos[:n]
+        if n:
+            qmax = max(qmax, int(an.qpos[:n].max()))
     kw = dict(k=params.k, max_gap=params.max_gap, bandwidth=params.bandwidth)
+    import jax
+
     if mesh is not None:
         from phylign_tpu.parallel import dist
 
-        return dist.dist_chain(mesh, jnp.asarray(rpos), jnp.asarray(qpos), **kw)
-    return opc.chain_anchors(jnp.asarray(rpos), jnp.asarray(qpos), **kw)
+        rj, qj = jax.device_put((rpos, qpos))  # one batched H2D round trip
+        return dist.dist_chain(mesh, rj, qj, **kw)
+    if qmax < 2**16:
+        # uint16 qpos on the wire (slot validity comes from rpos alone)
+        q16 = np.zeros((p, a), np.uint16)
+        np.copyto(q16, qpos, casting="unsafe", where=qpos < opc.PAD_POS)
+        rj, qj = jax.device_put((rpos, q16))
+        return opc.chain_anchors_packed(rj, qj, **kw)
+    rj, qj = jax.device_put((rpos, qpos))
+    return opc.chain_anchors(rj, qj, **kw)
 
 
 def _soft_clip_ends(cig: list[tuple[int, str]]) -> list[tuple[int, str]]:
@@ -177,29 +190,30 @@ def _local_trim(
     Returns (cigar with S ends, ref bases skipped before the alignment,
     local score), or None when no positive-scoring interval exists.
     """
-    ops: list[str] = []
-    step: list[float] = []
+    # Kadane over RUNS: a '=' run scores positive per base and X/I/D runs
+    # negative per base, so an optimal interval never starts or ends inside
+    # a run — run boundaries suffice, and a cigar has only a handful of runs
+    # (a per-base pass costs ~50 us/record; this is ~2 us).
+    totals: list[float] = []
     for n, op in cig:
         if op == "=":
-            ops.extend("=" * n)
-            step.extend([float(sc.match)] * n)
+            totals.append(float(n * sc.match))
         elif op == "X":
-            ops.extend("X" * n)
-            step.extend([-float(sc.mismatch)] * n)
+            totals.append(-float(n * sc.mismatch))
         elif op in ("I", "D"):
-            tot = min(
-                sc.gap_open1 + n * sc.gap_ext1, sc.gap_open2 + n * sc.gap_ext2
+            totals.append(
+                -float(
+                    min(
+                        sc.gap_open1 + n * sc.gap_ext1,
+                        sc.gap_open2 + n * sc.gap_ext2,
+                    )
+                )
             )
-            ops.extend(op * n)
-            # distribute evenly: all strictly negative, so the optimal
-            # interval never starts or ends inside a gap run
-            step.extend([-tot / n] * n)
         else:  # pragma: no cover - S never reaches here
             raise ValueError(f"unexpected op {op!r}")
-    # Kadane: max-sum contiguous interval [s, e)
     best = run = 0.0
     best_s = best_e = run_s = 0
-    for i, v in enumerate(step):
+    for i, v in enumerate(totals):
         if run <= 0.0:
             run, run_s = v, i
         else:
@@ -208,18 +222,14 @@ def _local_trim(
             best, best_s, best_e = run, run_s, i + 1
     if best_e <= best_s or best <= 0.0:
         return None
-    lead, mid, tail = ops[:best_s], ops[best_s:best_e], ops[best_e:]
-    lead_q = sum(1 for o in lead if o in "=XI")
-    lead_r = sum(1 for o in lead if o in "=XD")
-    tail_q = sum(1 for o in tail if o in "=XI")
+    lead, mid, tail = cig[:best_s], cig[best_s:best_e], cig[best_e:]
+    lead_q = sum(n for n, o in lead if o in "=XI")
+    lead_r = sum(n for n, o in lead if o in "=XD")
+    tail_q = sum(n for n, o in tail if o in "=XI")
     out: list[tuple[int, str]] = []
     if lead_q:
         out.append((lead_q, "S"))
-    for o in mid:
-        if out and out[-1][1] == o:
-            out[-1] = (out[-1][0] + 1, o)
-        else:
-            out.append((1, o))
+    out.extend(mid)
     if tail_q:
         out.append((tail_q, "S"))
     return out, lead_r, best
@@ -335,40 +345,58 @@ def _extend_chunk(
         rvalid[ii] = ok
     w0s = w0_arr
 
-    qj = jnp.asarray(q_codes)
-    lj = jnp.asarray(q_len)
-    rj = jnp.asarray(rwin)
-    vj = jnp.asarray(rvalid)
+    import jax
+
+    # 2-bit-packed codes + [lo, hi) bounds instead of a bool mask, uploaded
+    # as ONE device_put pytree: the relay moves ~15-20 MB/s and charges a
+    # ~25 ms round trip per separate transfer, so both bytes and calls count
+    lo_b = np.clip(c_start_arr - w0_arr, 0, wlen).astype(np.int32)
+    hi_b = np.clip(c_end_arr - w0_arr, 0, wlen).astype(np.int32)
+    lo_p = np.zeros(p, np.int32)
+    hi_p = np.zeros(p, np.int32)
+    lo_p[:n], hi_p[:n] = lo_b, hi_b
     if mesh is not None:
         from phylign_tpu.parallel import dist
 
+        qj, lj, rj, vj = jax.device_put((q_codes, q_len, rwin, rvalid))
         sc_dev, end_dev = dist.dist_extend_scores(
             mesh, qj, lj, rj, vj, scoring=params.scoring
         )
     else:
-        sc_dev, end_dev = ope.extend_banded_scores(
-            qj, lj, rj, vj, scoring=params.scoring
+        qp_j, lj, rp_j, lo_j, hi_j = jax.device_put(
+            (ope.pack2bit(q_codes), q_len, ope.pack2bit(rwin), lo_p, hi_p)
         )
-    scores = np.asarray(sc_dev)
-    end_ds = np.asarray(end_dev)
+        sc_dev, end_dev = ope.extend_banded_scores_packed(
+            qp_j, lj, rp_j, lo_j, hi_j, lmax, wlen, scoring=params.scoring
+        )
+    # one batched D2H round trip (each separate np.asarray costs a full
+    # ~25 ms relay RTT; jax.device_get fetches the whole tuple in one)
+    scores, end_ds = jax.device_get((sc_dev, end_dev))
 
     match_s = params.scoring.match
     mis_s = params.scoring.mismatch
+    # vectorized gapless check: gather every pair's end-diagonal ref segment
+    # in one fancy-indexing call, then compare counts against the DP score
+    rows = np.arange(n)[:, None]
+    colspan = end_ds[:n, None] + np.arange(lmax)[None, :]
+    in_q = np.arange(lmax)[None, :] < q_len[:n, None]
+    rseg_all = rwin[rows, colspan]
+    vseg_all = rvalid[rows, colspan] | ~in_q
+    neq_all = ((q_codes[:n] != rseg_all) & in_q).sum(axis=1)
+    diag_ok = vseg_all.all(axis=1) & (
+        match_s * (q_len[:n] - neq_all) - mis_s * neq_all == scores[:n].astype(np.int64)
+    )
     gapped: list[int] = []  # chunk-local indices needing the plane pass
     cigars: dict[int, tuple[list[tuple[int, str]], int]] = {}
-    for i, (_key, meta_t) in enumerate(items):
-        qlen = int(q_len[i])
-        d = int(end_ds[i])
-        qc = q_codes[i, :qlen]
-        rseg = rwin[i, d : d + qlen]
-        vseg = rvalid[i, d : d + qlen]
-        if vseg.all():
-            neq = int((qc != rseg).sum())
-            diag_score = match_s * (qlen - neq) - mis_s * neq
-            if diag_score == int(scores[i]):
-                cigars[i] = (_diag_cigar(qc, rseg), d)
-                continue
-        gapped.append(i)
+    for i in range(n):
+        if diag_ok[i]:
+            qlen = int(q_len[i])
+            cigars[i] = (
+                _diag_cigar(q_codes[i, :qlen], rseg_all[i, :qlen]),
+                int(end_ds[i]),
+            )
+        else:
+            gapped.append(i)
 
     if gapped:
         gi = np.asarray(gapped)
@@ -379,18 +407,26 @@ def _extend_chunk(
             out[: len(gi)] = a[gi]
             return out
 
-        plane_args = (
-            jnp.asarray(pad(q_codes)),
-            jnp.asarray(pad(q_len)),
-            jnp.asarray(pad(rwin)),
-            jnp.asarray(pad(rvalid)),
-        )
         if mesh is not None:
             from phylign_tpu.parallel import dist
 
+            plane_args = jax.device_put(
+                (pad(q_codes), pad(q_len), pad(rwin), pad(rvalid))
+            )
             ext = dist.dist_extend(mesh, *plane_args, scoring=params.scoring)
         else:
-            ext = ope.extend_banded(*plane_args, scoring=params.scoring)
+            gq, gl, gr, glo, ghi = jax.device_put(
+                (
+                    ope.pack2bit(pad(q_codes)),
+                    pad(q_len),
+                    ope.pack2bit(pad(rwin)),
+                    pad(lo_p),
+                    pad(hi_p),
+                )
+            )
+            ext = ope.extend_banded_packed(
+                gq, gl, gr, glo, ghi, lmax, wlen, scoring=params.scoring
+            )
         p_planes = np.asarray(ext.p_plane)
         for gj, i in enumerate(gapped):
             qlen = int(q_len[i])
@@ -473,11 +509,14 @@ def flush_pairs(
         # one bulk device->host transfer: per-element float()/int() on JAX
         # arrays costs a full dispatch round-trip EACH (~28 ms on the axon
         # relay — measured 172 s of 279 s for a 1024-pair batch)
-        cols = [
-            (res.score, res.count, res.qs, res.qe, res.rs, res.re),
-            (res.score2, res.count2, res.qs2, res.qe2, res.rs2, res.re2),
-        ]
-        host = [[np.asarray(a) for a in group] for group in cols]
+        import jax
+
+        host = jax.device_get(
+            [
+                (res.score, res.count, res.qs, res.qe, res.rs, res.re),
+                (res.score2, res.count2, res.qs2, res.qe2, res.rs2, res.re2),
+            ]
+        )
         for i, (ti, strand) in enumerate(meta):
             for c_score, c_count, c_qs, c_qe, c_rs, c_re in host:
                 sc = float(c_score[i])
@@ -624,7 +663,10 @@ def align_batch(
             rname_to_q.setdefault(acc, []).append(qi)
 
     pool: list[PairTask] = []
-    pair_chunk = 1024
+    # larger pools amortize the fixed per-flush relay round trips (~25 ms
+    # each for H2D, D2H, and dispatch); 4096 stays within MAX_EXT_CELLS for
+    # the 256-bucket short-read case so extension still runs as one call
+    pair_chunk = 4096
     for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
         ref = opm.build_ref_index(rname, contigs, params.k, params.w)
         sks = []

@@ -26,6 +26,17 @@ from phylign_tpu.ops.match import (
 )
 
 
+@functools.partial(jax.jit, static_argnames=("d_pad", "dtype"))
+def _compact_scores(scores: jax.Array, d_pad: int, dtype) -> jax.Array:
+    """Device-side transfer compaction: drop padding doc columns and downcast
+    before D2H. Through this environment's ~40 MB/s relay the raw
+    [Q, 32*Wp] int32 matrix costs ~0.5 s per 2048-query chunk; slicing to the
+    real doc count and casting to the smallest dtype that can hold the max
+    possible score (the per-segment k-mer count) cuts the bytes 4-5x.
+    d_pad is rounded up by the caller to bound distinct compile shapes."""
+    return scores[:, :d_pad].astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def match_step(
     words: jax.Array,
@@ -174,7 +185,15 @@ class Matcher:
                 dev_scores = match_scores(
                     self.words, jnp.asarray(packed), use_pallas=self.use_pallas
                 )
-            seg_scores = np.asarray(dev_scores)[:n_real, :d]
+            max_score = k_pack  # per-segment count <= valid k-mer slots
+            dtype = (
+                jnp.uint8
+                if max_score <= 255
+                else jnp.uint16 if max_score <= 65535 else jnp.int32
+            )
+            d_pad = min(dev_scores.shape[1], round_up(d, 256))
+            dev_scores = _compact_scores(dev_scores, d_pad, dtype)
+            seg_scores = np.asarray(dev_scores)[:n_real, :d].astype(np.int32)
             np.add.at(scores, np.asarray(owner), seg_scores)
         keep = (scores >= threshold * np.maximum(n_kmers, 1)[:, None]) & (
             n_kmers[:, None] > 0

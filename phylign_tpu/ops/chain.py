@@ -61,6 +61,26 @@ class ChainResult(NamedTuple):
 @functools.partial(
     jax.jit, static_argnames=("k", "max_gap", "bandwidth")
 )
+def chain_anchors_packed(
+    rpos: jax.Array,  # int32 [P, A]
+    qpos_u16: jax.Array,  # uint16 [P, A] — transfer-compact query positions
+    k: int = 21,
+    max_gap: int = 100,
+    bandwidth: int = 100,
+) -> "ChainResult":
+    """chain_anchors with qpos shipped as uint16 (halves the second H2D
+    array; slot validity comes from rpos alone, so padded qpos values are
+    free). Callers must ensure real qpos < 2**16 (true for any query the
+    align engine buckets; it falls back to the int32 path otherwise)."""
+    return chain_anchors(
+        rpos, qpos_u16.astype(jnp.int32), k=k, max_gap=max_gap,
+        bandwidth=bandwidth,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_gap", "bandwidth")
+)
 def chain_anchors(
     rpos: jax.Array,  # int32 [P, A], PAD_POS for padding; sorted (rpos, qpos)
     qpos: jax.Array,  # int32 [P, A]

@@ -84,6 +84,72 @@ def extend_banded_scores(
     return res.score, res.end_d
 
 
+def pack2bit(a: np.ndarray) -> np.ndarray:
+    """[P, N] uint8 codes (0..3) -> [P, ceil(N/4)] uint8, 4 codes per byte
+    (code j in bits 2*(j%4)). Shrinks H2D bytes 4x — the relay moves only
+    ~15-20 MB/s, so extension-input bytes are a first-order cost."""
+    p, n = a.shape
+    npad = (-n) % 4
+    if npad:
+        a = np.concatenate([a, np.zeros((p, npad), np.uint8)], axis=1)
+    a4 = a.reshape(p, -1, 4)
+    return (
+        a4[:, :, 0]
+        | (a4[:, :, 1] << 2)
+        | (a4[:, :, 2] << 4)
+        | (a4[:, :, 3] << 6)
+    )
+
+
+def _unpack2bit(packed: jax.Array, n: int) -> jax.Array:
+    """Device-side inverse of pack2bit: [P, ceil(n/4)] -> [P, n] uint8."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    u = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    return u.reshape(packed.shape[0], -1)[:, :n]
+
+
+def _window_mask(lo: jax.Array, hi: jax.Array, wlen: int) -> jax.Array:
+    """rvalid from per-pair in-contig bounds: column j valid iff lo<=j<hi."""
+    j = jnp.arange(wlen, dtype=jnp.int32)[None, :]
+    return (j >= lo[:, None]) & (j < hi[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("l", "wlen", "scoring"))
+def extend_banded_scores_packed(
+    q_pack: jax.Array,  # uint8 [P, ceil(l/4)] 2-bit packed query codes
+    q_len: jax.Array,  # int32 [P]
+    r_pack: jax.Array,  # uint8 [P, ceil(wlen/4)] 2-bit packed ref window
+    lo: jax.Array,  # int32 [P] first valid window column
+    hi: jax.Array,  # int32 [P] one past last valid window column
+    l: int,
+    wlen: int,
+    scoring: SrScoring = SrScoring(),
+) -> tuple[jax.Array, jax.Array]:
+    """Transfer-compact variant of extend_banded_scores: codes arrive 2-bit
+    packed and the validity mask arrives as [lo, hi) bounds; both are
+    expanded on device (XLA fuses the unpack into the scan's slice reads)."""
+    q = _unpack2bit(q_pack, l)
+    r = _unpack2bit(r_pack, wlen)
+    res = _extend_impl(q, q_len, r, _window_mask(lo, hi, wlen), scoring, False)
+    return res.score, res.end_d
+
+
+@functools.partial(jax.jit, static_argnames=("l", "wlen", "scoring"))
+def extend_banded_packed(
+    q_pack: jax.Array,
+    q_len: jax.Array,
+    r_pack: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    l: int,
+    wlen: int,
+    scoring: SrScoring = SrScoring(),
+) -> ExtendResult:
+    q = _unpack2bit(q_pack, l)
+    r = _unpack2bit(r_pack, wlen)
+    return _extend_impl(q, q_len, r, _window_mask(lo, hi, wlen), scoring, True)
+
+
 @functools.partial(jax.jit, static_argnames=("scoring",))
 def extend_banded(
     q_codes: jax.Array,  # int8/uint8 [P, L] strand-adjusted query codes

@@ -82,6 +82,11 @@ class Scheduler:
         self.ram = RamPool(max_ram_mb)
         self.io_sem = threading.Semaphore(max(1, max_io_heavy))
         self.device_lock = threading.Lock()
+        # Align flushes interleave host phases (selection, traceback) with
+        # device phases inside one call; two slots let one batch's host work
+        # overlap another's device round trips while still bounding
+        # concurrent device buffers (the plane pass can reach ~0.5 GB).
+        self.device_slots = threading.BoundedSemaphore(2)
         # Device-memory accountant: index uploads reserve HBM bytes *before*
         # device_put, so an upload can overlap another batch's scoring (both
         # proceed on-device thanks to async dispatch) without over-committing

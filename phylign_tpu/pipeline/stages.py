@@ -373,7 +373,7 @@ class Pipeline:
                     accessions,
                     params,
                     mesh=self.mesh(),
-                    device_lock=self.sched.device_lock,
+                    device_lock=self.sched.device_slots,
                 )
             )
             tmp, commit = atomic_write_via(out)
