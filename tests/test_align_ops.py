@@ -334,3 +334,73 @@ class TestAlignerModel:
         assert out.chain.count.shape == (P,)
         assert int(out.chain.count[0]) == A
         assert out.align_score.shape == (P,)
+
+
+class TestPackedTransferPaths:
+    """The 2-bit / bounds-packed device paths must match the unpacked ones."""
+
+    def test_pack2bit_roundtrip(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(77)
+        for n in (1, 3, 4, 150, 384):
+            a = rng.integers(0, 4, (5, n)).astype(np.uint8)
+            packed = ope.pack2bit(a)
+            assert packed.shape == (5, (n + 3) // 4)
+            out = np.asarray(ope._unpack2bit(jnp.asarray(packed), n))
+            np.testing.assert_array_equal(out, a)
+
+    def test_packed_scores_match_unpacked(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(78)
+        P, L = 8, 64
+        wlen = L + ope.BAND
+        q = rng.integers(0, 4, (P, L)).astype(np.uint8)
+        qlen = np.full(P, L, np.int32)
+        rwin = rng.integers(0, 4, (P, wlen)).astype(np.uint8)
+        # some reads perfect on a diagonal so scores are meaningful
+        for i in range(P):
+            d = int(rng.integers(0, ope.BAND))
+            rwin[i, d : d + L] = q[i]
+        lo = rng.integers(0, 4, P).astype(np.int32)
+        hi = wlen - rng.integers(0, 4, P).astype(np.int32)
+        j = np.arange(wlen)[None, :]
+        rvalid = (j >= lo[:, None]) & (j < hi[:, None])
+        rz = np.where(rvalid, rwin, 0).astype(np.uint8)
+
+        s_ref, e_ref = ope.extend_banded_scores(
+            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(rz),
+            jnp.asarray(rvalid),
+        )
+        s_pk, e_pk = ope.extend_banded_scores_packed(
+            jnp.asarray(ope.pack2bit(q)), jnp.asarray(qlen),
+            jnp.asarray(ope.pack2bit(rwin)), jnp.asarray(lo), jnp.asarray(hi),
+            L, wlen,
+        )
+        np.testing.assert_allclose(np.asarray(s_pk), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(e_pk), np.asarray(e_ref))
+
+    def test_chain_packed_matches_int32(self):
+        import jax.numpy as jnp
+        from phylign_tpu.ops import chain as opc
+
+        rng = np.random.default_rng(79)
+        P, A = 4, 16
+        qp = np.sort(rng.integers(0, 120, (P, A)).astype(np.int32), axis=1)
+        rp = qp + rng.integers(90, 110, (P, 1)).astype(np.int32)
+        order = np.lexsort((qp[0], rp[0]))
+        for i in range(P):
+            o = np.lexsort((qp[i], rp[i]))
+            qp[i], rp[i] = qp[i, o], rp[i, o]
+        # pad the tail slots
+        qp[:, -3:] = opc.PAD_POS
+        rp[:, -3:] = opc.PAD_POS
+        ref = opc.chain_anchors(jnp.asarray(rp), jnp.asarray(qp))
+        q16 = np.zeros((P, A), np.uint16)
+        np.copyto(q16, qp, casting="unsafe", where=qp < opc.PAD_POS)
+        got = opc.chain_anchors_packed(jnp.asarray(rp), jnp.asarray(q16))
+        for f in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), f
+            )
