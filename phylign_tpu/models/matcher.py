@@ -37,6 +37,31 @@ def _compact_scores(scores: jax.Array, d_pad: int, dtype) -> jax.Array:
     return scores[:, :d_pad].astype(dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("kk", "d"))
+def _topk_scores(
+    scores: jax.Array, n_kmers: jax.Array, threshold: float, kk: int, d: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Device-side threshold + top-k: returns (vals u16 [Q, kk],
+    idx u16 [Q, kk], n_keep i32 [Q]).
+
+    Only docs with score >= ceil-free cobs threshold survive (others come
+    back as val 0 / idx 0 with n_keep bounding the real count). When
+    n_keep[q] > kk the caller must re-fetch that query's full row — the
+    top-k window missed ties. Cuts the relay D2H ~5x vs the full matrix."""
+    s = scores[:, :d].astype(jnp.int32)
+    cut = (threshold * n_kmers.astype(jnp.float32))[:, None]
+    ok = (s.astype(jnp.float32) >= cut) & (n_kmers[:, None] > 0)
+    masked = jnp.where(ok, s, -1)
+    vals, idx = jax.lax.top_k(masked, kk)
+    n_keep = ok.sum(axis=1, dtype=jnp.int32)
+    keep = vals >= 0
+    return (
+        jnp.where(keep, vals, 0).astype(jnp.uint16),
+        jnp.where(keep, idx, 0).astype(jnp.uint16),
+        n_keep,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def match_step(
     words: jax.Array,
@@ -199,3 +224,78 @@ class Matcher:
             n_kmers[:, None] > 0
         )
         return scores, keep, n_kmers
+
+    def score_hits(
+        self, seqs: list[bytes], threshold: float, topn: int, k_max: int = 512
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """Per-query hits [(doc_idx, score)] with score >= threshold*n_kmers,
+        sorted by score desc, plus n_keep [Q] (the full qualifying count).
+
+        Fast path: device-side threshold + top-k, transferring only a
+        kk-entry window per query instead of the whole [Q, D] matrix (a ~5x
+        relay D2H cut). The window is a SUPERSET of top-``topn`` + ties
+        whenever it is complete; a query falls back to the full-matrix path
+        when its qualifying set might overflow the window (n_keep > kk with
+        the rank-topn tie run touching the window end).
+
+        Mesh runs and segmented (>k_max-k-mer) queries use the full path.
+        """
+        d = len(self.doc_names)
+        per_query = [
+            cobs_row_indices(
+                encode_seq(s), self.term_size, self.signature_size, self.num_hashes
+            )
+            for s in seqs
+        ]
+        n_kmers = np.array([r.shape[0] for r in per_query], np.int32)
+        segmented = any(r.shape[0] > k_max for r in per_query)
+        if self.mesh is not None or d == 0 or d > 65535 or segmented:
+            scores, keep, _ = self.score(seqs, threshold, k_max)
+            return _hits_from_full(scores, keep), keep.sum(axis=1).astype(np.int32)
+
+        kk = min(d, round_up(min(topn + 33, d), 32))
+        k_pack = round_up(max((r.shape[0] for r in per_query), default=1), 64)
+        packed, _ = pack_row_indices(
+            per_query, max(k_pack, 1), self.pad_row, self.num_hashes
+        )
+        dev_scores = match_scores(
+            self.words, jnp.asarray(packed), use_pallas=self.use_pallas
+        )
+        vals, idx, n_keep = jax.device_get(
+            _topk_scores(dev_scores, jnp.asarray(n_kmers), threshold, kk, d)
+        )
+        hits: list[list[tuple[int, int]]] = []
+        redo: list[int] = []
+        for q in range(len(seqs)):
+            m = int(n_keep[q])
+            take = min(m, kk)
+            if m > kk:
+                # complete only if the rank-topn tie run ends inside the
+                # window; conservative: re-fetch this query's full row
+                redo.append(q)
+                hits.append([])
+                continue
+            hits.append(
+                [(int(idx[q, j]), int(vals[q, j])) for j in range(take)]
+            )
+        if redo:
+            scores, keep, _ = self.score(
+                [seqs[q] for q in redo], threshold, k_max
+            )
+            for row, q in enumerate(redo):
+                docs = np.nonzero(keep[row])[0]
+                hits[q] = [(int(dd), int(scores[row, dd])) for dd in docs]
+                hits[q].sort(key=lambda t: (-t[1], t[0]))
+        return hits, n_keep.astype(np.int32)
+
+
+def _hits_from_full(
+    scores: np.ndarray, keep: np.ndarray
+) -> list[list[tuple[int, int]]]:
+    out = []
+    for q in range(scores.shape[0]):
+        docs = np.nonzero(keep[q])[0]
+        row = [(int(d), int(scores[q, d])) for d in docs]
+        row.sort(key=lambda t: (-t[1], t[0]))
+        out.append(row)
+    return out

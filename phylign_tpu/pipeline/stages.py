@@ -267,16 +267,19 @@ class Pipeline:
                 for off in range(0, len(records), chunk):
                     part = records[off : off + chunk]
                     seqs = [r.seq.encode() for r in part]
-                    scores, keep, n_kmers = matcher.score(
-                        seqs, self.cfg.cobs_kmer_thres
+                    # device-side threshold + top-k window: only the
+                    # qualifying hits cross the relay, not [Q, D] scores
+                    hit_lists, n_keep = matcher.score_hits(
+                        seqs, self.cfg.cobs_kmer_thres, self.cfg.nb_best_hits
                     )
                     for i, rec in enumerate(part):
-                        hit_idx = np.nonzero(keep[i])[0]
                         hits = [
-                            (str(names[d]), int(scores[i, d])) for d in hit_idx
+                            (str(names[di]), sc) for di, sc in hit_lists[i]
                         ]
                         hits.sort(key=lambda x: (-x[1], x[0]))
-                        matches.append(QueryMatches(rec.name, len(hits), hits))
+                        matches.append(
+                            QueryMatches(rec.name, int(n_keep[i]), hits)
+                        )
         finally:
             self.sched.hbm.release(hbm_mb)
         return matches

@@ -97,3 +97,52 @@ class TestFilter:
         buf = io.StringIO()
         qfilter.write_filtered_fasta(buf, out)
         assert buf.getvalue() == ">q1 SAM1,SAM3\nACGT\n>q2 \nTTTT\n"
+
+
+class TestScoreHits:
+    """Device-side top-k hit path must reproduce the full-matrix path."""
+
+    def _mk(self, n_docs, seed=5, planted=None):
+        from phylign_tpu.io import cobs
+        from phylign_tpu.models.matcher import Matcher
+
+        rng = np.random.default_rng(seed)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        docs = []
+        for i in range(n_docs):
+            seq = rng.choice(alpha, 400).tobytes()
+            if planted is not None and i < planted[1]:
+                seq = planted[0] + seq
+            docs.append((f"d{i:03d}", [seq]))
+        idx = cobs.build_classic_index(docs, term_size=31, fpr=0.01)
+        return Matcher.from_device_index(cobs.to_device_index(idx))
+
+    def _assert_same(self, m, seqs, thres, topn):
+        hits, n_keep = m.score_hits(seqs, thres, topn)
+        scores, keep, _ = m.score(seqs, thres)
+        for q in range(len(seqs)):
+            docs = np.nonzero(keep[q])[0]
+            want = sorted(
+                [(int(d), int(scores[q, d])) for d in docs],
+                key=lambda t: (-t[1], t[0]),
+            )
+            got = sorted(hits[q], key=lambda t: (-t[1], t[0]))
+            assert got == want, q
+            assert int(n_keep[q]) == len(want)
+
+    def test_matches_full_path(self):
+        rng = np.random.default_rng(11)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        read = rng.choice(alpha, 150).tobytes()
+        m = self._mk(40, planted=(read, 7))
+        seqs = [read, rng.choice(alpha, 150).tobytes(), b"ACG"]
+        self._assert_same(m, seqs, 0.7, topn=5)
+
+    def test_window_overflow_falls_back(self):
+        # plant the read in MANY docs so qualifying count exceeds the top-k
+        # window for topn=1 (kk = 64) -> per-query full-row fallback
+        rng = np.random.default_rng(12)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        read = rng.choice(alpha, 150).tobytes()
+        m = self._mk(96, planted=(read, 96))
+        self._assert_same(m, [read], 0.7, topn=1)
