@@ -55,14 +55,16 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_device_words(words: np.ndarray, lane_words: int = 8) -> np.ndarray:
+def pad_device_words(words: np.ndarray, lane_words: int = 1) -> np.ndarray:
     """[S, W] uint32 -> [S+1, Wp] with Wp a multiple of ``lane_words`` and a
     final all-zero padding row.
 
-    lane_words=8 (32 B rows) suits the XLA gather path and minimizes the
-    index upload (a 2169-doc batch rows at 72 words instead of 128 — the
-    relay uploads at ~40 MB/s, so index bytes matter). The Pallas kernel
-    requires lane_words=LANE_WORDS (full 512 B lanes)."""
+    lane_words=1 (exact width) suits the XLA gather path: the gather is
+    per-row-bound rather than per-byte-bound (measured FASTER at narrow
+    widths), and the relay uploads at ~15-20 MB/s so padding bytes are pure
+    loss (a 32-doc batch is 1 word, not 8). The Pallas kernel requires
+    lane_words=LANE_WORDS (full 512 B lanes); mesh sharding requires a
+    multiple of the doc-axis size."""
     s, w = words.shape
     wp = round_up(max(w, 1), lane_words)
     out = np.zeros((s + 1, wp), dtype=np.uint32)
