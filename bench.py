@@ -9,9 +9,9 @@ pipeline forced onto the CPU backend (XLA-CPU + the same host code), i.e. a
 true device-vs-host comparison of this framework, not the reference's
 several-hour 661k-batch figure.
 
-Workload: one realistic batch index slice — S = 2M Bloom rows x 72 words
-(the 2169-doc batch geometry after the pipeline's adaptive 8-word-lane
-padding, phylign_tpu.ops.match.pad_device_words; ~0.6 GB packed), Q = 2048
+Workload: one realistic batch index slice — S = 2M Bloom rows x 68 words
+(the exact 2169-doc batch geometry, phylign_tpu.ops.match.pad_device_words
+exact-width rows; ~0.5 GB packed), Q = 2048
 queries x 128 k-mers — scored by the device match engine (gather + vertical
 popcount + threshold). Throughput is measured with the scoring loop inside
 one jit (20 reps, scan) so the axon relay round-trip amortizes out.
@@ -33,7 +33,7 @@ import time
 
 import numpy as np
 
-S, WP, Q, K, REPS = 2_000_000, 72, 2048, 128, 20
+S, WP, Q, K, REPS = 2_000_000, 68, 2048, 128, 20
 CPU_Q = 64  # CPU baseline sample size (scaled up)
 CPU_THREADS_CREDIT = 8
 
@@ -145,7 +145,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "match-stage queries/s per batch index (1 chip, S=2M, Wp=72, Q=2048, K=128)",
+                "metric": "match-stage queries/s per batch index (1 chip, S=2M, Wp=68, Q=2048, K=128)",
                 "value": round(tpu, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(tpu / cpu, 2),
