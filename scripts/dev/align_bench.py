@@ -1,0 +1,54 @@
+"""Align-stage microbenchmark on the real chip: pairs/s + phase breakdown."""
+import time
+
+import numpy as np
+
+from phylign_tpu.align import engine as ae
+from phylign_tpu.kmer import decode_seq
+from phylign_tpu.ops import minimizer as opm
+from phylign_tpu.utils.jaxcache import enable
+
+enable()
+
+import sys
+
+rng = np.random.default_rng(0)
+G = 3_000_000
+N_READS = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+RL = 150
+params = ae.AlignParams.from_preset("sr")
+
+genome = rng.integers(0, 4, G).astype(np.uint8)
+t0 = time.perf_counter()
+ref = opm.build_ref_index("g1", [("c1", genome)], params.k, params.w)
+print(f"ref index build ({G/1e6:.0f} Mb): {time.perf_counter()-t0:.2f}s")
+
+# reads sampled from the genome with 1% mismatches, half reverse-complemented
+sks = []
+t0 = time.perf_counter()
+for i in range(N_READS):
+    s = rng.integers(0, G - RL)
+    r = genome[s : s + RL].copy()
+    nmut = rng.binomial(RL, 0.01)
+    pos = rng.choice(RL, nmut, replace=False)
+    r[pos] = (r[pos] + rng.integers(1, 4, nmut)) % 4
+    if i % 2:
+        r = (3 - r)[::-1].copy()
+    sks.append(ae.QuerySketch.make(f"r{i}", decode_seq(r).decode(), params))
+print(f"sketch {N_READS} reads: {time.perf_counter()-t0:.2f}s")
+
+import jax.numpy as jnp
+
+float(jnp.zeros((8,)).sum())  # claim device
+
+for rep in range(3):
+    t0 = time.perf_counter()
+    pairs = ae.make_pairs_batch(ref, sks, params)
+    t1 = time.perf_counter()
+    recs = ae.flush_pairs(pairs, params)
+    t2 = time.perf_counter()
+    mapped = sum(1 for r in recs if r.flag != 4)
+    print(
+        f"rep{rep}: anchors {t1-t0:.2f}s  flush {t2-t1:.2f}s  "
+        f"-> {N_READS/(t2-t0):.0f} pairs/s  mapped {mapped}/{len(recs)}"
+    )
