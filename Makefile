@@ -59,9 +59,11 @@ cluster_lsf_test: ## Submit the golden test to LSF
 	bsub "$(CLI) test"
 
 format: ## Reformat Python sources
-	$(PY) -m black phylign_tpu tests bench.py 2>/dev/null || \
-	  echo "black not installed; skipping"
+	@if $(PY) -c "import black" 2>/dev/null; then \
+	  $(PY) -m black phylign_tpu tests bench.py; \
+	else echo "black not installed; skipping"; fi
 
 checkformat: ## Check source format
-	$(PY) -m black --check phylign_tpu tests bench.py 2>/dev/null || \
-	  echo "black not installed; skipping"
+	@if $(PY) -c "import black" 2>/dev/null; then \
+	  $(PY) -m black --check phylign_tpu tests bench.py; \
+	else echo "black not installed; skipping"; fi

@@ -109,6 +109,14 @@ def e2e_main() -> None:
 
     n_reads = 2048
     if "--cpu-child" in sys.argv:
+        # env JAX_PLATFORMS=cpu alone is overridden by the TPU plugin's
+        # sitecustomize at the CONFIG level; force it before first backend
+        # init or the "CPU baseline" silently runs on (and contends for)
+        # the one TPU chip
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
         d = Path(tempfile.mkdtemp(prefix="phylign_e2e_cpu_"))
         _e2e_run(d / "warm", n_reads, seed=100)
         print(f"CPU_SECONDS {_e2e_run(d / 'timed', n_reads, seed=101)}")

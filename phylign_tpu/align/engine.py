@@ -667,6 +667,13 @@ def align_batch(
     # each for H2D, D2H, and dispatch); 4096 stays within MAX_EXT_CELLS for
     # the 256-bucket short-read case so extension still runs as one call
     pair_chunk = 4096
+    # every pooled PairTask pins its genome's RefIndex (codes + minimizer
+    # table, ~5x genome bytes); a batch where thousands of genomes each
+    # contribute a pair or two would otherwise pin tens of GB before the
+    # pair count triggers a flush, far past the scheduler's reservation
+    pool_ref_budget = 512 << 20
+    pool_ref_bytes = 0
+    pool_refs: set[int] = set()
     for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
         ref = opm.build_ref_index(rname, contigs, params.k, params.w)
         sks = []
@@ -676,12 +683,18 @@ def align_batch(
                 sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
             sks.append(sketch_cache[qi])
         pool.extend(make_pairs_batch(ref, sks, params))
-        # flush pooled pairs (spanning genomes) once the device batch is full
-        if len(pool) >= pair_chunk:
+        if id(ref) not in pool_refs:
+            pool_refs.add(id(ref))
+            pool_ref_bytes += ref.codes.nbytes + ref.sort_hash.nbytes * 2
+        # flush pooled pairs (spanning genomes) once the device batch is
+        # full OR the pinned-genome bytes exceed the pool budget
+        if len(pool) >= pair_chunk or pool_ref_bytes >= pool_ref_budget:
             with _lk:
                 recs = flush_pairs(pool, params, mesh)
             yield from recs
             pool = []
+            pool_refs.clear()
+            pool_ref_bytes = 0
     with _lk:
         recs = flush_pairs(pool, params, mesh)
     yield from recs

@@ -230,6 +230,34 @@ def cmd_test(args) -> None:
         sys.exit(f"test FAILED: sam_summary differs from the {oracle}")
 
 
+def cli_entry(argv: list[str] | None = None) -> None:
+    """Console entry point (pyproject `phylign-tpu` and `python -m`):
+    dispatch, then skip interpreter teardown. The TPU backend plugin's
+    background threads can std::terminate during normal exit in this
+    environment, turning any finished run — pass OR fail — into SIGABRT;
+    flush and _exit with the right code instead. Programmatic callers
+    (tests, embedding) use main(), which returns normally."""
+    code = 0
+    try:
+        main(argv)
+    except SystemExit as e:
+        if isinstance(e.code, int):
+            code = e.code
+        elif e.code is not None:
+            print(e.code, file=sys.stderr)
+            code = 1
+    except KeyboardInterrupt:
+        code = 130
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+        code = 1
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
+
+
 def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(
         stream=sys.stderr,
@@ -330,18 +358,4 @@ def main(argv: list[str] | None = None) -> None:
 
 
 if __name__ == "__main__":
-    # Skip interpreter teardown: the TPU backend plugin's background threads
-    # abort (std::terminate) during normal exit in this environment, turning
-    # a passing run into SIGABRT. Results are flushed; exit immediately.
-    code = 0
-    try:
-        main()
-    except SystemExit as e:
-        if isinstance(e.code, int):
-            code = e.code
-        elif e.code is not None:
-            print(e.code, file=sys.stderr)
-            code = 1
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(code)
+    cli_entry()

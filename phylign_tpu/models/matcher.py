@@ -39,18 +39,20 @@ def _compact_scores(scores: jax.Array, d_pad: int, dtype) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("kk", "d"))
 def _topk_scores(
-    scores: jax.Array, n_kmers: jax.Array, threshold: float, kk: int, d: int
+    scores: jax.Array, cut: jax.Array, kk: int, d: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Device-side threshold + top-k: returns (vals u16 [Q, kk],
     idx u16 [Q, kk], n_keep i32 [Q]).
 
-    Only docs with score >= ceil-free cobs threshold survive (others come
+    ``cut`` is the per-query integer threshold (int32 [Q]; smallest integer
+    score that qualifies, computed on HOST in float64 so boundary hits match
+    the full-matrix path bit-for-bit — a float32 device cut diverges at
+    exact-threshold scores). Docs with score >= cut survive (others come
     back as val 0 / idx 0 with n_keep bounding the real count). When
     n_keep[q] > kk the caller must re-fetch that query's full row — the
     top-k window missed ties. Cuts the relay D2H ~5x vs the full matrix."""
     s = scores[:, :d].astype(jnp.int32)
-    cut = (threshold * n_kmers.astype(jnp.float32))[:, None]
-    ok = (s.astype(jnp.float32) >= cut) & (n_kmers[:, None] > 0)
+    ok = s >= cut[:, None]
     masked = jnp.where(ok, s, -1)
     vals, idx = jax.lax.top_k(masked, kk)
     n_keep = ok.sum(axis=1, dtype=jnp.int32)
@@ -60,6 +62,19 @@ def _topk_scores(
         jnp.where(keep, idx, 0).astype(jnp.uint16),
         n_keep,
     )
+
+
+def _int_cut(threshold: float, n_kmers: np.ndarray) -> np.ndarray:
+    """Smallest integer score satisfying ``score >= threshold * n`` in
+    float64 (the host/reference comparison), per query. Queries with no
+    k-mers get an impossible cut so they can never match."""
+    t = np.float64(threshold) * n_kmers.astype(np.float64)
+    cut = np.ceil(t).astype(np.int64)
+    # ceil gives the right integer except when t is itself integral (ceil
+    # keeps it) — i.e. cut >= t by construction; but guard float error:
+    cut = np.where(cut.astype(np.float64) < t, cut + 1, cut)
+    cut = np.where(n_kmers > 0, np.maximum(cut, 0), np.int64(1 << 30))
+    return cut.astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
@@ -265,8 +280,11 @@ class Matcher:
             self.words, jnp.asarray(packed), use_pallas=self.use_pallas
         )
         vals, idx, n_keep = jax.device_get(
-            _topk_scores(dev_scores, jnp.asarray(n_kmers), threshold, kk, d)
+            _topk_scores(
+                dev_scores, jnp.asarray(_int_cut(threshold, n_kmers)), kk, d
+            )
         )
+        n_keep = np.array(n_keep)  # device_get buffers are read-only
         hits: list[list[tuple[int, int]]] = []
         redo: list[int] = []
         for q in range(len(seqs)):
@@ -289,6 +307,7 @@ class Matcher:
                 docs = np.nonzero(keep[row])[0]
                 hits[q] = [(int(dd), int(scores[row, dd])) for dd in docs]
                 hits[q].sort(key=lambda t: (-t[1], t[0]))
+                n_keep[q] = len(hits[q])  # keep header count == emitted set
         return hits, n_keep.astype(np.int32)
 
 

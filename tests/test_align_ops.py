@@ -389,7 +389,6 @@ class TestPackedTransferPaths:
         P, A = 4, 16
         qp = np.sort(rng.integers(0, 120, (P, A)).astype(np.int32), axis=1)
         rp = qp + rng.integers(90, 110, (P, 1)).astype(np.int32)
-        order = np.lexsort((qp[0], rp[0]))
         for i in range(P):
             o = np.lexsort((qp[i], rp[i]))
             qp[i], rp[i] = qp[i, o], rp[i, o]
