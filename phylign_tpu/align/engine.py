@@ -640,6 +640,7 @@ def align_batch(
     params: AlignParams = AlignParams(),
     mesh=None,
     device_lock=None,
+    pair_chunk: int = 4096,
 ) -> Iterator[SamRecord]:
     """Align a batch: stream candidate genomes out of the tar and emit SAM
     records (mirrors batch_align.py map_queries_to_batch, device-batched).
@@ -664,9 +665,9 @@ def align_batch(
 
     pool: list[PairTask] = []
     # larger pools amortize the fixed per-flush relay round trips (~25 ms
-    # each for H2D, D2H, and dispatch); 4096 stays within MAX_EXT_CELLS for
-    # the 256-bucket short-read case so extension still runs as one call
-    pair_chunk = 4096
+    # each for H2D, D2H, and dispatch); the 4096 default stays within
+    # MAX_EXT_CELLS for the 256-bucket short-read case so extension still
+    # runs as one call (config: device_pair_chunk)
     # every pooled PairTask pins its genome's RefIndex (codes + minimizer
     # table, ~5x genome bytes); a batch where thousands of genomes each
     # contribute a pair or two would otherwise pin tens of GB before the

@@ -46,7 +46,7 @@ class Config:
     # --- TPU-native extensions (no reference equivalent) ---
     device_hbm_gb: float = 12.0  # HBM budget for resident batch indexes
     device_query_chunk: int = 1024  # queries per match device call
-    device_pair_chunk: int = 1024  # align pairs per extend device call
+    device_pair_chunk: int = 4096  # align pairs pooled per device flush
     mesh_shape: str = "1x1"  # doc-shard x data-parallel mesh (parallel.mesh)
     output_dir: str = "output"
     intermediate_dir: str = "intermediate"

@@ -377,6 +377,7 @@ class Pipeline:
                     params,
                     mesh=self.mesh(),
                     device_lock=self.sched.device_slots,
+                    pair_chunk=self.cfg.device_pair_chunk,
                 )
             )
             tmp, commit = atomic_write_via(out)
