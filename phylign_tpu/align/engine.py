@@ -653,6 +653,7 @@ def align_batch(
     collection of OTHER batches overlaps this batch's device work.
     """
     import contextlib
+    from concurrent.futures import ThreadPoolExecutor
 
     _lk = device_lock if device_lock is not None else contextlib.nullcontext()
     rname_to_q: dict[str, list[int]] = {}
@@ -675,27 +676,37 @@ def align_batch(
     pool_ref_budget = 512 << 20
     pool_ref_bytes = 0
     pool_refs: set[int] = set()
-    for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
-        ref = opm.build_ref_index(rname, contigs, params.k, params.w)
-        sks = []
-        for qi in rname_to_q[rname]:
-            if qi not in sketch_cache:
-                fq = queries[qi]
-                sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
-            sks.append(sketch_cache[qi])
-        pool.extend(make_pairs_batch(ref, sks, params))
-        if id(ref) not in pool_refs:
-            pool_refs.add(id(ref))
-            pool_ref_bytes += ref.codes.nbytes + ref.sort_hash.nbytes * 2
-        # flush pooled pairs (spanning genomes) once the device batch is
-        # full OR the pinned-genome bytes exceed the pool budget
-        if len(pool) >= pair_chunk or pool_ref_bytes >= pool_ref_budget:
-            with _lk:
-                recs = flush_pairs(pool, params, mesh)
-            yield from recs
-            pool = []
-            pool_refs.clear()
-            pool_ref_bytes = 0
-    with _lk:
-        recs = flush_pairs(pool, params, mesh)
-    yield from recs
+
+    def _flush(p):
+        with _lk:
+            return flush_pairs(p, params, mesh)
+
+    # one-deep flush pipeline: the NEXT pool's tar streaming / ref indexing
+    # / anchor collection overlaps the in-flight flush's device round trips
+    # (records still come out in pool order)
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None
+        for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
+            ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+            sks = []
+            for qi in rname_to_q[rname]:
+                if qi not in sketch_cache:
+                    fq = queries[qi]
+                    sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
+                sks.append(sketch_cache[qi])
+            pool.extend(make_pairs_batch(ref, sks, params))
+            if id(ref) not in pool_refs:
+                pool_refs.add(id(ref))
+                pool_ref_bytes += ref.codes.nbytes + ref.sort_hash.nbytes * 2
+            # flush pooled pairs (spanning genomes) once the device batch is
+            # full OR the pinned-genome bytes exceed the pool budget
+            if len(pool) >= pair_chunk or pool_ref_bytes >= pool_ref_budget:
+                if pending is not None:
+                    yield from pending.result()
+                pending = ex.submit(_flush, pool)
+                pool = []
+                pool_refs.clear()
+                pool_ref_bytes = 0
+        if pending is not None:
+            yield from pending.result()
+        yield from _flush(pool)
