@@ -243,6 +243,45 @@ class Matcher:
         )
         return scores, keep, n_kmers
 
+    def _mesh_topk(
+        self,
+        per_query: list[np.ndarray],
+        n_kmers: np.ndarray,
+        threshold: float,
+        kk: int,
+        d: int,
+        k_pack: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Mesh fast path: sharded scoring + the distributed top-k collective
+        (local top-k per doc shard -> all-gather over 'd' -> re-top-k), so
+        only the [Q, kk] hit window leaves the device even when the score
+        matrix is sharded across chips."""
+        from phylign_tpu.parallel.dist import dist_match_scores, dist_topk
+
+        nq = self.mesh.shape["q"]
+        rows = list(per_query)
+        pad_q = (-len(rows)) % nq
+        rows += [np.empty((0, self.num_hashes), np.int64)] * pad_q
+        packed, _ = pack_row_indices(
+            rows, max(k_pack, 1), self.pad_row, self.num_hashes
+        )
+        scores = dist_match_scores(self.mesh, self.words, jnp.asarray(packed))
+        cut = np.concatenate(
+            [_int_cut(threshold, n_kmers), np.full(pad_q, 1 << 30, np.int32)]
+        )
+        cols = jnp.arange(scores.shape[1], dtype=jnp.int32)
+        masked = jnp.where(
+            (scores >= jnp.asarray(cut)[:, None]) & (cols[None, :] < d),
+            scores,
+            -1,
+        )
+        kk_eff = min(kk, scores.shape[1])
+        vals, ids = dist_topk(self.mesh, masked, 0, k_total=kk_eff)
+        n_keep = (masked >= 0).sum(axis=1, dtype=jnp.int32)
+        vals, ids, n_keep = jax.device_get((vals, ids, n_keep))
+        q = len(n_kmers)
+        return vals[:q, :kk], ids[:q, :kk], n_keep[:q]
+
     def score_hits(
         self, seqs: list[bytes], threshold: float, topn: int, k_max: int = 512
     ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
@@ -256,7 +295,9 @@ class Matcher:
         when its qualifying set might overflow the window (n_keep > kk with
         the rank-topn tie run touching the window end).
 
-        Mesh runs and segmented (>k_max-k-mer) queries use the full path.
+        Mesh runs use the distributed top-k collective (local top-k per doc
+        shard -> all-gather -> re-top-k); segmented (>k_max-k-mer) queries
+        use the full path.
         """
         d = len(self.doc_names)
         per_query = [
@@ -267,23 +308,28 @@ class Matcher:
         ]
         n_kmers = np.array([r.shape[0] for r in per_query], np.int32)
         segmented = any(r.shape[0] > k_max for r in per_query)
-        if self.mesh is not None or d == 0 or d > 65535 or segmented:
+        if d == 0 or d > 65535 or segmented:
             scores, keep, _ = self.score(seqs, threshold, k_max)
             return _hits_from_full(scores, keep), keep.sum(axis=1).astype(np.int32)
 
         kk = min(d, round_up(min(topn + 33, d), 32))
         k_pack = round_up(max((r.shape[0] for r in per_query), default=1), 64)
-        packed, _ = pack_row_indices(
-            per_query, max(k_pack, 1), self.pad_row, self.num_hashes
-        )
-        dev_scores = match_scores(
-            self.words, jnp.asarray(packed), use_pallas=self.use_pallas
-        )
-        vals, idx, n_keep = jax.device_get(
-            _topk_scores(
-                dev_scores, jnp.asarray(_int_cut(threshold, n_kmers)), kk, d
+        if self.mesh is not None:
+            vals, idx, n_keep = self._mesh_topk(
+                per_query, n_kmers, threshold, kk, d, k_pack
             )
-        )
+        else:
+            packed, _ = pack_row_indices(
+                per_query, max(k_pack, 1), self.pad_row, self.num_hashes
+            )
+            dev_scores = match_scores(
+                self.words, jnp.asarray(packed), use_pallas=self.use_pallas
+            )
+            vals, idx, n_keep = jax.device_get(
+                _topk_scores(
+                    dev_scores, jnp.asarray(_int_cut(threshold, n_kmers)), kk, d
+                )
+            )
         n_keep = np.array(n_keep)  # device_get buffers are read-only
         hits: list[list[tuple[int, int]]] = []
         redo: list[int] = []

@@ -63,13 +63,14 @@ def dist_match_scores(mesh, words, row_idx):
     )(words, row_idx)
 
 
-def dist_topk(mesh, scores, n_best):
+def dist_topk(mesh, scores, n_best, k_total=None):
     """Global per-query top-K across doc shards.
 
     scores: [Q, D] sharded (q, d). Returns (values [Q, K], global doc ids
-    [Q, K]) replicated over 'd', sharded over 'q'. K = n_best + TIE_SLACK.
+    [Q, K]) replicated over 'd', sharded over 'q'. K = n_best + TIE_SLACK,
+    or exactly ``k_total`` when given.
     """
-    k = n_best + TIE_SLACK
+    k = k_total if k_total is not None else n_best + TIE_SLACK
 
     def step(s_loc):
         kl = min(k, s_loc.shape[1])

@@ -107,3 +107,34 @@ class TestMeshPipeline:
 
         with _pt.raises(ValueError, match="devices"):
             pl.mesh()
+
+
+class TestMeshScoreHits:
+    def test_score_hits_matches_full_path(self, mesh8):
+        """The mesh top-k collective path must reproduce the full-matrix
+        hits exactly (set, scores, and qualifying counts)."""
+        from phylign_tpu.io import cobs
+        from phylign_tpu.models.matcher import Matcher
+
+        rng = np.random.default_rng(21)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        read = rng.choice(alpha, 150).tobytes()
+        docs = []
+        for i in range(24):
+            seq = rng.choice(alpha, 300).tobytes()
+            if i % 3 == 0:
+                seq = read + seq  # planted
+            docs.append((f"d{i:02d}", [seq]))
+        idx = cobs.build_classic_index(docs, term_size=31, fpr=0.01)
+        didx = cobs.to_device_index(idx)
+        mm = Matcher.from_device_index(didx, mesh=mesh8)
+        ms = Matcher.from_device_index(didx)
+
+        seqs = [read, rng.choice(alpha, 150).tobytes(), b"ACG"]
+        got_hits, got_n = mm.score_hits(seqs, 0.7, topn=5)
+        want_hits, want_n = ms.score_hits(seqs, 0.7, topn=5)
+        for q in range(len(seqs)):
+            assert sorted(got_hits[q]) == sorted(
+                [(int(a), int(b)) for a, b in want_hits[q]]
+            ), q
+            assert int(got_n[q]) == int(want_n[q])
