@@ -77,6 +77,40 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.match_text_stats.restype = ctypes.c_int32
+    lib.match_text_stats.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
+    lib.parse_match_text.restype = ctypes.c_int64
+    lib.parse_match_text.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+
+    lib.filter_topk_rows.restype = ctypes.c_int64
+    lib.filter_topk_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
     _lib = lib
     return lib
 
@@ -136,3 +170,94 @@ def native_xxh64(data: bytes, seed: int = 0) -> int | None:
     if lib is None:
         return None
     return int(lib.xxh64(data, len(data), seed))
+
+
+class ParsedMatchFile:
+    """Array view of one 03_match file (native parse).
+
+    qnames:   list[str]              query names, file order
+    totals:   int64 [Q]              header n_total per query
+    hit_end:  int64 [Q]              cumulative hit count (query i's hits are
+                                     rows hit_end[i-1]:hit_end[i])
+    acc_id:   uint32 [H]             interned accession id per hit
+    score:    int32 [H]
+    accs:     list[str]              id -> accession string
+    """
+
+    __slots__ = ("qnames", "totals", "hit_end", "acc_id", "score", "accs")
+
+    def __init__(self, qnames, totals, hit_end, acc_id, score, accs):
+        self.qnames = qnames
+        self.totals = totals
+        self.hit_end = hit_end
+        self.acc_id = acc_id
+        self.score = score
+        self.accs = accs
+
+
+def native_parse_match_text(data: bytes) -> "ParsedMatchFile | None":
+    """Parse decompressed match text into arrays (None without the lib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    nq = ctypes.c_int64()
+    nh = ctypes.c_int64()
+    rc = lib.match_text_stats(_u8ptr(buf), len(buf), ctypes.byref(nq), ctypes.byref(nh))
+    if rc != 0:
+        raise ValueError("malformed match file")
+    nq, nh = nq.value, nh.value
+    q_off = np.empty(nq, np.int64)
+    q_len = np.empty(nq, np.int32)
+    q_tot = np.empty(nq, np.int64)
+    q_end = np.empty(nq, np.int64)
+    acc_id = np.empty(nh, np.uint32)
+    score = np.empty(nh, np.int32)
+    a_off = np.empty(nh, np.int64)  # worst case: every hit a new accession
+    a_len = np.empty(nh, np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    nacc = lib.parse_match_text(
+        _u8ptr(buf), len(buf),
+        p(q_off, ctypes.c_int64), p(q_len, ctypes.c_int32),
+        p(q_tot, ctypes.c_int64), p(q_end, ctypes.c_int64),
+        p(acc_id, ctypes.c_uint32), p(score, ctypes.c_int32),
+        p(a_off, ctypes.c_int64), p(a_len, ctypes.c_int32),
+    )
+    if nacc < 0:
+        raise ValueError("malformed match file")
+    qnames = [
+        data[q_off[i] : q_off[i] + q_len[i]].decode() for i in range(nq)
+    ]
+    accs = [
+        data[a_off[i] : a_off[i] + a_len[i]].decode() for i in range(nacc)
+    ]
+    return ParsedMatchFile(qnames, q_tot, q_end, acc_id, score, accs)
+
+
+def native_filter_topk_rows(q, score, brank, arank, smax, keep):
+    """Sort+cut core of the candidate filter (None without the lib, or if
+    a packing range is violated — callers fall back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int64)
+    score = np.ascontiguousarray(score, np.int32)
+    brank = np.ascontiguousarray(brank, np.int32)
+    arank = np.ascontiguousarray(arank, np.int32)
+    n = q.shape[0]
+    kept = np.empty(n, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    cnt = lib.filter_topk_rows(
+        p(q, ctypes.c_int64), p(score, ctypes.c_int32),
+        p(brank, ctypes.c_int32), p(arank, ctypes.c_int32),
+        n, int(smax), int(keep), p(kept, ctypes.c_int64),
+    )
+    if cnt < 0:
+        return None
+    return kept[:cnt]

@@ -12,8 +12,12 @@
 // Exposed with a plain C ABI for ctypes (phylign_tpu/native/__init__.py);
 // numpy implementations remain as the portable fallback and test oracle.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <string>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -218,6 +222,159 @@ int64_t minimizers(const uint8_t* codes, int64_t len, int32_t k, int32_t w,
     }
   }
   return cnt;
+}
+
+// ------------------------------------------------------- match-file parsing
+
+// The 03_match text contract (match/postprocess.py): header lines
+// "*{qname}\t{n_total}" followed by hit lines "_{acc}\t{score}". At full
+// scale (305 batches x thousands of queries x 100 hits) this is tens of
+// millions of lines; a python per-line parse costs minutes, this parser
+// streams the decompressed buffer once and interns accession strings so
+// the hit arrays stay numeric (ref workload: filter_queries.py:27-66).
+
+// Pass 1: sizes. Returns 0 on success, -1 on malformed input.
+int32_t match_text_stats(const uint8_t* buf, int64_t n, int64_t* n_queries,
+                         int64_t* n_hits) {
+  int64_t nq = 0, nh = 0;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t j = i;
+    while (j < n && buf[j] != '\n') j++;
+    if (j > i) {  // skip empty lines
+      if (buf[i] == '*') nq++;
+      else nh++;
+    }
+    i = j + 1;
+  }
+  *n_queries = nq;
+  *n_hits = nh;
+  return 0;
+}
+
+// Pass 2: fill arrays. qname/acc strings are returned as (offset, len)
+// into buf; accessions are interned (acc_table holds first-occurrence
+// offsets; hits carry uint32 ids). Hit counts are cumulative per query
+// (q_hit_end[i] = hits in queries 0..i). Returns the number of distinct
+// accessions, or -1 on malformed input (hit line before any header, no
+// tab, or non-numeric score).
+int64_t parse_match_text(const uint8_t* buf, int64_t n,
+                         int64_t* q_name_off, int32_t* q_name_len,
+                         int64_t* q_total, int64_t* q_hit_end,
+                         uint32_t* hit_acc_id, int32_t* hit_score,
+                         int64_t* acc_off, int32_t* acc_len) {
+  std::unordered_map<std::string, uint32_t> intern;
+  int64_t qi = -1, hi = 0, nacc = 0;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t j = i;
+    while (j < n && buf[j] != '\n') j++;
+    int64_t len = j - i;
+    if (len > 0) {
+      // find the tab
+      int64_t t = i;
+      while (t < j && buf[t] != '\t') t++;
+      if (t >= j) return -1;
+      // parse the integer after the tab
+      int64_t v = 0;
+      bool any = false;
+      for (int64_t p = t + 1; p < j; p++) {
+        if (buf[p] < '0' || buf[p] > '9') return -1;
+        v = v * 10 + (buf[p] - '0');
+        any = true;
+      }
+      if (!any) return -1;
+      if (buf[i] == '*') {
+        // header: "*qname\tN" — qname drops any FASTA comment after ' '
+        qi++;
+        int64_t name_end = t;
+        for (int64_t p = i + 1; p < t; p++) {
+          if (buf[p] == ' ') { name_end = p; break; }
+        }
+        q_name_off[qi] = i + 1;
+        q_name_len[qi] = (int32_t)(name_end - (i + 1));
+        q_total[qi] = v;
+        q_hit_end[qi] = hi;
+      } else {
+        if (qi < 0) return -1;
+        // hit: "_acc\tscore" — the '_' is the stripped-rid residue
+        // acc = everything after the FIRST '_' (str.partition semantics of
+        // read_match_file: empty when there is no '_')
+        int64_t a0 = i;
+        while (a0 < t && buf[a0] != '_') a0++;
+        a0 = (a0 < t) ? a0 + 1 : t;
+        std::string key(reinterpret_cast<const char*>(buf + a0),
+                        (size_t)(t - a0));
+        auto it = intern.find(key);
+        uint32_t id;
+        if (it == intern.end()) {
+          id = (uint32_t)nacc;
+          intern.emplace(std::move(key), id);
+          acc_off[nacc] = a0;
+          acc_len[nacc] = (int32_t)(t - a0);
+          nacc++;
+        } else {
+          id = it->second;
+        }
+        hit_acc_id[hi] = id;
+        hit_score[hi] = (int32_t)v;
+        hi++;
+        q_hit_end[qi] = hi;
+      }
+    }
+    i = j + 1;
+  }
+  return nacc;
+}
+
+// ------------------------------------------------- global top-k filter core
+
+// The filter stage's hot core (ref: filter_queries.py:123-150): sort all
+// (query, score, batch, accession) candidate rows by
+// (query, -score, batch, accession) and keep, per query, the first `keep`
+// rows plus every following row tying the rank-`keep` score.
+//
+// Key packing (caller guarantees the ranges): q < 2^22, score <= smax
+// < 2^14, brank < 2^10, arank < 2^18. Writes kept ORIGINAL row indices in
+// kept order to kept_out (size >= n); returns the kept count, or -1 if a
+// range is violated.
+int64_t filter_topk_rows(const int64_t* q, const int32_t* score,
+                         const int32_t* brank, const int32_t* arank,
+                         int64_t n, int64_t smax, int64_t keep,
+                         int64_t* kept_out) {
+  if (smax >= (1 << 14)) return -1;
+  std::vector<std::pair<uint64_t, int64_t>> rows((size_t)n);
+  for (int64_t i = 0; i < n; i++) {
+    if (q[i] >= (1 << 22) || score[i] > smax || score[i] < 0 ||
+        brank[i] >= (1 << 10) || arank[i] >= (1 << 18))
+      return -1;
+    uint64_t key = ((uint64_t)q[i] << 42) |
+                   ((uint64_t)(smax - score[i]) << 28) |
+                   ((uint64_t)brank[i] << 18) | (uint64_t)arank[i];
+    rows[(size_t)i] = {key, i};
+  }
+  std::sort(rows.begin(), rows.end());
+  int64_t out = 0;
+  int64_t i = 0;
+  while (i < n) {
+    uint64_t qcur = rows[(size_t)i].first >> 42;
+    int64_t start = i;
+    while (i < n && (rows[(size_t)i].first >> 42) == qcur) i++;
+    int64_t len = i - start;
+    int64_t take = len <= keep ? len : keep;
+    for (int64_t j = start; j < start + take; j++)
+      kept_out[out++] = rows[(size_t)j].second;
+    if (len > keep) {
+      uint64_t cut_sbits = (rows[(size_t)(start + keep - 1)].first >> 28) &
+                           ((1 << 14) - 1);
+      for (int64_t j = start + keep; j < i; j++) {
+        if (((rows[(size_t)j].first >> 28) & ((1 << 14) - 1)) != cut_sbits)
+          break;
+        kept_out[out++] = rows[(size_t)j].second;
+      }
+    }
+  }
+  return out;
 }
 
 }  // extern "C"

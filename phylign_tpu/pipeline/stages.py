@@ -335,26 +335,62 @@ class Pipeline:
         if self.manifest.done("filter", stem, [str(out)]):
             return out
         with benchmark(self.logs, "translate_matches", stem):
-            # streaming lockstep merge: constant memory in #queries
-            handles = [xopen_read(self.match_path(b, stem)) for b in batches]
-            try:
-                streams = {
-                    b: read_match_file(h) for b, h in zip(batches, handles)
-                }
-                filtered = filter_queries_streaming(
+            parsed = self._parse_matches_native(batches, stem)
+            if parsed is not None:
+                # native fast path: array filter over interned accessions
+                from phylign_tpu.match.filter import filter_queries_arrays
+
+                filtered = filter_queries_arrays(
                     read_fastx_file(self.merged_fa(stem)),
-                    streams,
+                    parsed,
                     self.cfg.nb_best_hits,
                 )
                 tmp, commit = atomic_write_via(out)
                 with open(tmp, "w") as f:
                     write_filtered_fasta(f, filtered)
                 commit()
-            finally:
-                for h in handles:
-                    h.close()
+            else:
+                # streaming lockstep merge: constant memory in #queries
+                handles = [xopen_read(self.match_path(b, stem)) for b in batches]
+                try:
+                    streams = {
+                        b: read_match_file(h) for b, h in zip(batches, handles)
+                    }
+                    filtered = filter_queries_streaming(
+                        read_fastx_file(self.merged_fa(stem)),
+                        streams,
+                        self.cfg.nb_best_hits,
+                    )
+                    tmp, commit = atomic_write_via(out)
+                    with open(tmp, "w") as f:
+                        write_filtered_fasta(f, filtered)
+                    commit()
+                finally:
+                    for h in handles:
+                        h.close()
         self.manifest.mark("filter", stem, [str(out)])
         return out
+
+    def _parse_matches_native(self, batches: list[str], stem: str):
+        """Natively parse all match files into arrays, or None when the
+        native library is unavailable (callers then stream in python).
+        At full scale this is tens of millions of lines; the C parser
+        interns accessions so the per-hit data stays numeric."""
+        from phylign_tpu.native import native_parse_match_text
+
+        import gzip
+
+        parsed = {}
+        for b in batches:
+            p = self.match_path(b, stem)
+            opener = gzip.open if str(p).endswith(".gz") else open
+            with opener(p, "rb") as f:
+                data = f.read()
+            pm = native_parse_match_text(data)
+            if pm is None:
+                return None
+            parsed[b] = pm
+        return parsed
 
     # --- stage 5: align ------------------------------------------------------
 
