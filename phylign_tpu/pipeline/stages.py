@@ -376,20 +376,23 @@ class Pipeline:
         native library is unavailable (callers then stream in python).
         At full scale this is tens of millions of lines; the C parser
         interns accessions so the per-hit data stays numeric."""
-        from phylign_tpu.native import native_parse_match_text
-
         import gzip
+        from concurrent.futures import ThreadPoolExecutor
 
-        parsed = {}
-        for b in batches:
+        from phylign_tpu.native import get_lib, native_parse_match_text
+
+        if get_lib() is None:
+            return None
+
+        def load(b):
             p = self.match_path(b, stem)
             opener = gzip.open if str(p).endswith(".gz") else open
             with opener(p, "rb") as f:
-                data = f.read()
-            pm = native_parse_match_text(data)
-            if pm is None:
-                return None
-            parsed[b] = pm
+                data = f.read()  # zlib releases the GIL; parse is C
+            return b, native_parse_match_text(data)
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            parsed = dict(ex.map(load, batches))
         return parsed
 
     # --- stage 5: align ------------------------------------------------------
