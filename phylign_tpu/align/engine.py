@@ -672,8 +672,10 @@ def align_batch(
     # every pooled PairTask pins its genome's RefIndex (codes + minimizer
     # table, ~5x genome bytes); a batch where thousands of genomes each
     # contribute a pair or two would otherwise pin tens of GB before the
-    # pair count triggers a flush, far past the scheduler's reservation
-    pool_ref_budget = 512 << 20
+    # pair count triggers a flush, far past the scheduler's reservation.
+    # 256 MB because the one-deep flush pipeline keeps TWO pools alive
+    # (the in-flight one plus the one being built).
+    pool_ref_budget = 256 << 20
     pool_ref_bytes = 0
     pool_refs: set[int] = set()
 

@@ -48,6 +48,7 @@ class Config:
     device_query_chunk: int = 1024  # queries per match device call
     device_pair_chunk: int = 4096  # align pairs pooled per device flush
     mesh_shape: str = "1x1"  # doc-shard x data-parallel mesh (parallel.mesh)
+    filter_mode: str = "auto"  # auto (native arrays when available) | streaming
     output_dir: str = "output"
     intermediate_dir: str = "intermediate"
     logs_dir: str = "logs"

@@ -188,18 +188,20 @@ def filter_queries_arrays(
     ai = np.concatenate(accid_cols)
 
     smax = int(sc.max(initial=0))
+    # packed-uint64 key bit budget: q 22, score 14, batch 10, acc-rank 18
+    fits_packed = (
+        len(records) < (1 << 22)
+        and smax < (1 << 14)
+        and len(batch_names) < (1 << 10)
+        and int(ar.max(initial=0)) < (1 << 18)
+    )
 
     # native sort+cut core: one C pass over the packed keys instead of a
     # dozen numpy full-array passes (returns kept original-row ids in kept
     # order, exactly like the numpy path below)
     from phylign_tpu.native import native_filter_topk_rows
 
-    if (
-        len(records) < (1 << 22)
-        and smax < (1 << 14)
-        and len(batch_names) < (1 << 10)
-        and int(ar.max(initial=0)) < (1 << 18)
-    ):
+    if fits_packed:
         kept_native = native_filter_topk_rows(q, sc, br, ar, smax, keep)
         if kept_native is not None:
             acc_lists = [parsed[b].accs for b in batch_names]
@@ -215,13 +217,8 @@ def filter_queries_arrays(
             return out
 
     # single packed-uint64 sort key when the ranges fit (3x faster than a
-    # 4-key lexsort at tens of millions of rows); bit budget 22+14+10+18
-    if (
-        len(records) < (1 << 22)
-        and smax < (1 << 14)
-        and len(batch_names) < (1 << 10)
-        and int(ar.max(initial=0)) < (1 << 18)
-    ):
+    # 4-key lexsort at tens of millions of rows)
+    if fits_packed:
         key = (
             (q.astype(np.uint64) << 42)
             | ((smax - sc).astype(np.uint64) << 28)

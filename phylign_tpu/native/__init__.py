@@ -46,6 +46,26 @@ def get_lib() -> ctypes.CDLL | None:
     if not _LIB_PATH.exists() and not _build():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
+    # a stale prebuilt .so (older revision still on disk) may miss newer
+    # symbols; probe the newest one and rebuild once before giving up —
+    # raising here would take down every native caller instead of falling
+    # back to the numpy paths
+    try:
+        lib.filter_topk_rows
+    except AttributeError:
+        try:  # force a rebuild even if make thinks the .so is fresh
+            _LIB_PATH.unlink()
+        except OSError:
+            pass
+        if not _build():
+            log.warning("stale libhostio.so and rebuild failed; using numpy")
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            lib.filter_topk_rows
+        except AttributeError:
+            log.warning("rebuilt libhostio.so still stale; using numpy")
+            return None
 
     lib.xxh64.restype = ctypes.c_uint64
     lib.xxh64.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64]

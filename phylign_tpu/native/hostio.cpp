@@ -241,7 +241,9 @@ int32_t match_text_stats(const uint8_t* buf, int64_t n, int64_t* n_queries,
   while (i < n) {
     int64_t j = i;
     while (j < n && buf[j] != '\n') j++;
-    if (j > i) {  // skip empty lines
+    int64_t e = j;
+    if (e > i && buf[e - 1] == '\r') e--;  // CRLF tolerance
+    if (e > i) {  // skip empty lines
       if (buf[i] == '*') nq++;
       else nh++;
     }
@@ -269,16 +271,18 @@ int64_t parse_match_text(const uint8_t* buf, int64_t n,
   while (i < n) {
     int64_t j = i;
     while (j < n && buf[j] != '\n') j++;
-    int64_t len = j - i;
+    int64_t e = j;
+    if (e > i && buf[e - 1] == '\r') e--;  // CRLF tolerance
+    int64_t len = e - i;
     if (len > 0) {
       // find the tab
       int64_t t = i;
-      while (t < j && buf[t] != '\t') t++;
-      if (t >= j) return -1;
+      while (t < e && buf[t] != '\t') t++;
+      if (t >= e) return -1;
       // parse the integer after the tab
       int64_t v = 0;
       bool any = false;
-      for (int64_t p = t + 1; p < j; p++) {
+      for (int64_t p = t + 1; p < e; p++) {
         if (buf[p] < '0' || buf[p] > '9') return -1;
         v = v * 10 + (buf[p] - '0');
         any = true;

@@ -335,24 +335,25 @@ class Pipeline:
         if self.manifest.done("filter", stem, [str(out)]):
             return out
         with benchmark(self.logs, "translate_matches", stem):
-            parsed = self._parse_matches_native(batches, stem)
-            if parsed is not None:
-                # native fast path: array filter over interned accessions
-                from phylign_tpu.match.filter import filter_queries_arrays
+            parsed = None
+            if self.cfg.filter_mode != "streaming":
+                parsed = self._parse_matches_native(batches, stem)
+            handles = []
+            try:
+                if parsed is not None:
+                    # native fast path: array filter over interned accessions
+                    from phylign_tpu.match.filter import filter_queries_arrays
 
-                filtered = filter_queries_arrays(
-                    read_fastx_file(self.merged_fa(stem)),
-                    parsed,
-                    self.cfg.nb_best_hits,
-                )
-                tmp, commit = atomic_write_via(out)
-                with open(tmp, "w") as f:
-                    write_filtered_fasta(f, filtered)
-                commit()
-            else:
-                # streaming lockstep merge: constant memory in #queries
-                handles = [xopen_read(self.match_path(b, stem)) for b in batches]
-                try:
+                    filtered = filter_queries_arrays(
+                        read_fastx_file(self.merged_fa(stem)),
+                        parsed,
+                        self.cfg.nb_best_hits,
+                    )
+                else:
+                    # streaming lockstep merge: constant memory in #queries
+                    handles = [
+                        xopen_read(self.match_path(b, stem)) for b in batches
+                    ]
                     streams = {
                         b: read_match_file(h) for b, h in zip(batches, handles)
                     }
@@ -361,22 +362,26 @@ class Pipeline:
                         streams,
                         self.cfg.nb_best_hits,
                     )
-                    tmp, commit = atomic_write_via(out)
-                    with open(tmp, "w") as f:
-                        write_filtered_fasta(f, filtered)
-                    commit()
-                finally:
-                    for h in handles:
-                        h.close()
+                tmp, commit = atomic_write_via(out)
+                with open(tmp, "w") as f:
+                    write_filtered_fasta(f, filtered)
+                commit()
+            finally:
+                for h in handles:
+                    h.close()
         self.manifest.mark("filter", stem, [str(out)])
         return out
 
     def _parse_matches_native(self, batches: list[str], stem: str):
-        """Natively parse all match files into arrays, or None when the
-        native library is unavailable (callers then stream in python).
+        """Natively parse all match files into arrays, or None to stream in
+        python (native library unavailable, or a file the strict C parser
+        rejects — e.g. externally produced with nonstandard separators).
         At full scale this is tens of millions of lines; the C parser
-        interns accessions so the per-hit data stays numeric."""
+        interns accessions so the per-hit data stays numeric. Trade-off vs
+        the streaming path: all batches' parsed arrays are RAM-resident at
+        once (config: filter_mode streaming|auto to force/allow)."""
         import gzip
+        import lzma
         from concurrent.futures import ThreadPoolExecutor
 
         from phylign_tpu.native import get_lib, native_parse_match_text
@@ -385,14 +390,22 @@ class Pipeline:
             return None
 
         def load(b):
-            p = self.match_path(b, stem)
-            opener = gzip.open if str(p).endswith(".gz") else open
+            p = str(self.match_path(b, stem))
+            opener = (
+                gzip.open
+                if p.endswith(".gz")
+                else lzma.open if p.endswith(".xz") else open
+            )
             with opener(p, "rb") as f:
                 data = f.read()  # zlib releases the GIL; parse is C
             return b, native_parse_match_text(data)
 
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            parsed = dict(ex.map(load, batches))
+        try:
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                parsed = dict(ex.map(load, batches))
+        except ValueError as e:
+            log.warning("native match parse failed (%s); streaming instead", e)
+            return None
         return parsed
 
     # --- stage 5: align ------------------------------------------------------
