@@ -143,3 +143,37 @@ class TestNativeTopkCore:
         br = np.zeros(2, np.int32)
         ar = np.zeros(2, np.int32)
         assert native_filter_topk_rows(q, sc, br, ar, int(sc.max()), 1) is None
+
+
+class TestRobustness:
+    def test_crlf_tolerated(self):
+        pm = native_parse_match_text(b"*q1\t1\r\n_A\t5\r\n")
+        assert pm.qnames == ["q1"] and int(pm.score[0]) == 5
+
+    def test_pipeline_falls_back_on_strict_reject(self, tmp_path, monkeypatch):
+        """A match file the C parser rejects (space-separated) must fall
+        back to the python streaming filter, not fail the stage."""
+        from phylign_tpu import testing
+        from phylign_tpu.config import Config
+        from phylign_tpu.pipeline.stages import Pipeline
+        import gzip
+
+        testing.make_fixture(tmp_path, n_batches=2, seed=7)
+        cfg = Config.from_yaml(tmp_path / "config.yaml")
+        pl = Pipeline(cfg, tmp_path)
+        import glob
+
+        inputs = sorted(glob.glob(str(tmp_path / "input" / "*")))
+        stem = pl.preprocess(inputs)
+        pl.match(stem)
+        # corrupt one match file into space-separated form (python reader
+        # accepts it via line.split(); the strict C parser rejects it)
+        victim = pl.match_path(pl.batches()[0], stem)
+        text = gzip.open(victim, "rt").read().replace("\t", " ")
+        with gzip.open(victim, "wt") as f:
+            f.write(text)
+        pl.manifest.clear("filter")
+        out = pl.filter(stem)
+        assert out.exists()
+        body = out.read_text()
+        assert body.startswith(">")
