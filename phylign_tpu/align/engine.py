@@ -47,6 +47,7 @@ class AlignParams:
     bandwidth: int = 100
     min_chain_cnt: int = 2  # sr -n
     min_chain_score: float = 20.0  # sr -m
+    band: int = 128  # extension band width (diagonal drift allowance)
     scoring: ope.SrScoring = field(default_factory=ope.SrScoring)
     max_anchors: int = 64  # padded anchor slots per (pair, strand)
     max_occ: int = 50  # high-frequency seed filter
@@ -86,6 +87,10 @@ class AlignParams:
             bandwidth=min(gap, 500),
             min_chain_cnt=cnt,
             min_chain_score=chain,
+            # long-read / assembly presets tolerate far more diagonal drift
+            # (indels accumulate over kb-scale alignments); sr keeps one
+            # 128-lane register. Multiples of 128 for TPU lane alignment.
+            band=128 if preset == "sr" else 512,
             scoring=ope.SrScoring(
                 match=m, mismatch=x,
                 gap_open1=o1, gap_ext1=e1, gap_open2=o2, gap_ext2=e2,
@@ -271,7 +276,8 @@ def make_pairs_batch(
     return [PairTask(sk, ref, p, m) for sk, (p, m) in zip(sks, per_q)]
 
 
-MAX_EXT_CELLS = 1 << 20  # bound on P * L per extension call (plane ~512 MB)
+MAX_EXT_CELLS = 1 << 20  # bound on P * L at band 128 (plane ~512 MB);
+# wider bands shrink the per-call pair count proportionally
 
 
 def _diag_cigar(qc: np.ndarray, rseg: np.ndarray) -> list[tuple[int, str]]:
@@ -304,12 +310,12 @@ def _extend_chunk(
     records: dict[tuple[int, bool], SamRecord] = {}
     p = _bucket_pairs(len(items), _mesh_q(mesh))
     n = len(items)
-    wlen = lmax + ope.BAND
+    wlen = lmax + params.band
     q_codes = np.zeros((p, lmax), np.uint8)
     q_len = np.zeros(p, np.int32)
     rwin = np.zeros((p, wlen), np.uint8)
     rvalid = np.zeros((p, wlen), bool)
-    half = ope.BAND // 2
+    half = params.band // 2
     # per-item scalars first (cheap python), then one vectorized window gather
     w0_arr = np.zeros(n, np.int64)
     c_start_arr = np.zeros(n, np.int64)
@@ -565,7 +571,7 @@ def flush_pairs(
         lb = _round_up(max(32, len(tasks[ti].sketch.codes)), 256)
         by_bucket.setdefault(lb, []).append(item)
     for lb, items in sorted(by_bucket.items()):
-        max_p = max(8, MAX_EXT_CELLS // lb)
+        max_p = max(8, (MAX_EXT_CELLS * 128) // (lb * params.band))
         for off in range(0, len(items), max_p):
             records.update(
                 _extend_chunk(tasks, items[off : off + max_p], lb, params, mesh)

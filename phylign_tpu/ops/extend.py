@@ -42,7 +42,8 @@ from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
 
 _enable_jax_cache()
 
-BAND = 128  # band width in ref offsets; half-band = BAND // 2
+BAND = 128  # default band width (sr preset); _extend_impl infers the
+# actual band from its window shape, so wider presets just pass wider rwin
 NEG = np.float32(-1e30)
 
 
@@ -174,7 +175,8 @@ def _extend_impl(
     e1 = jnp.float32(scoring.gap_ext1)
     o2 = jnp.float32(scoring.gap_open2 + scoring.gap_ext2)
     e2 = jnp.float32(scoring.gap_ext2)
-    d_idx = jnp.arange(BAND, dtype=jnp.float32)
+    band = rwin.shape[1] - l  # window width beyond the query length
+    d_idx = jnp.arange(band, dtype=jnp.float32)
 
     def row(carry, xs):
         h_prev, i1_prev, i2_prev, best, best_d = carry
@@ -182,10 +184,10 @@ def _extend_impl(
 
         # window columns for this row: offsets i .. i+BAND-1
         rrow = jax.lax.dynamic_slice(
-            rwin, (jnp.int32(0), i), (p, BAND)
+            rwin, (jnp.int32(0), i), (p, band)
         )
         rval = jax.lax.dynamic_slice(
-            rwin_valid, (jnp.int32(0), i), (p, BAND)
+            rwin_valid, (jnp.int32(0), i), (p, band)
         )
         sub = jnp.where(
             rrow == qc[:, None],
@@ -222,9 +224,9 @@ def _extend_impl(
         best_d = jnp.where(is_last, row_best_d, best_d)
         return (h, i1, i2, best, best_d), (pmax if collect_plane else None)
 
-    h0 = jnp.zeros((p, BAND), jnp.float32)  # free ref-overhang start
-    i10 = jnp.full((p, BAND), NEG)
-    i20 = jnp.full((p, BAND), NEG)
+    h0 = jnp.zeros((p, band), jnp.float32)  # free ref-overhang start
+    i10 = jnp.full((p, band), NEG)
+    i20 = jnp.full((p, band), NEG)
     best0 = jnp.full(p, NEG)
     bestd0 = jnp.zeros(p, jnp.int32)
     xs = (
@@ -236,7 +238,7 @@ def _extend_impl(
         row, (h0, i10, i20, best0, bestd0), xs
     )
     if not collect_plane:
-        p_planes = jnp.zeros((p, 0, BAND), jnp.float32)
+        p_planes = jnp.zeros((p, 0, band), jnp.float32)
     else:
         p_planes = p_planes.transpose(1, 0, 2)
     return ExtendResult(score=best, end_d=best_d, p_plane=p_planes)

@@ -325,3 +325,33 @@ class TestSupplementary:
         assert "H" in supp.cigar
         assert "S" not in supp.cigar
         assert len(supp.seq) < 150
+
+
+class TestWideBandPresets:
+    def test_long_read_large_deletion_map_ont(self):
+        """A 200 bp deletion drifts the diagonal past the sr half-band (64);
+        the map-ont preset's 512-wide band must still recover it."""
+        import numpy as np
+
+        from phylign_tpu.align.engine import (
+            AlignParams,
+            QuerySketch,
+            align_genome,
+        )
+        from phylign_tpu.kmer import decode_seq
+
+        rng = np.random.default_rng(41)
+        params = AlignParams.from_preset("map-ont")
+        assert params.band == 512
+        genome = rng.integers(0, 4, 50_000).astype(np.uint8)
+        x = 10_000
+        read_codes = np.concatenate(
+            [genome[x : x + 900], genome[x + 1100 : x + 2000]]
+        )  # 200 bp deletion in the middle
+        sk = QuerySketch.make("lr1", decode_seq(read_codes).decode(), params)
+        recs = align_genome("g", [("c1", genome)], [sk], params)
+        assert len(recs) == 1
+        rec = recs[0]
+        assert rec.flag == 0 and rec.rname == "c1"
+        assert f"200D" in rec.cigar, rec.cigar
+        assert rec.pos == x + 1
