@@ -66,9 +66,11 @@ def tpu_throughput() -> float:
         return c
 
     float(loop(words, idxs))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(words, idxs))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):  # best-of-2 timed passes (relay jitter)
+        t0 = time.perf_counter()
+        float(loop(words, idxs))
+        dt = min(dt, time.perf_counter() - t0)
     return REPS * Q / dt
 
 
@@ -76,13 +78,15 @@ def cpu_baseline_throughput() -> float:
     rng = np.random.default_rng(1)
     words = rng.integers(0, 2**32, (S, WP), dtype=np.uint32)
     idx = rng.integers(0, S, (CPU_Q, K)).astype(np.int64)
-    t0 = time.perf_counter()
-    g = words[idx.reshape(-1)]  # [CPU_Q*K, WP]
-    bits = np.unpackbits(g.view(np.uint8), axis=1)  # [N, WP*32]
-    scores = bits.reshape(CPU_Q, K, -1).sum(axis=1, dtype=np.int32)
-    _ = scores.max()
-    dt = time.perf_counter() - t0
-    return CPU_Q / dt * CPU_THREADS_CREDIT
+    best = float("inf")
+    for _ in range(3):  # best-of-3: this host's cores are noisy
+        t0 = time.perf_counter()
+        g = words[idx.reshape(-1)]  # [CPU_Q*K, WP]
+        bits = np.unpackbits(g.view(np.uint8), axis=1)  # [N, WP*32]
+        scores = bits.reshape(CPU_Q, K, -1).sum(axis=1, dtype=np.int32)
+        _ = scores.max()
+        best = min(best, time.perf_counter() - t0)
+    return CPU_Q / best * CPU_THREADS_CREDIT
 
 
 def _e2e_run(workdir, n_reads: int, seed: int) -> float:
