@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 S, WP, Q, K, REPS = 2_000_000, 68, 2048, 128, 20
-CPU_Q = 64  # CPU baseline sample size (scaled up)
+CPU_Q = 256  # CPU baseline sample size (scaled up)
 CPU_THREADS_CREDIT = 8
 
 
@@ -78,15 +78,16 @@ def cpu_baseline_throughput() -> float:
     rng = np.random.default_rng(1)
     words = rng.integers(0, 2**32, (S, WP), dtype=np.uint32)
     idx = rng.integers(0, S, (CPU_Q, K)).astype(np.int64)
-    best = float("inf")
-    for _ in range(3):  # best-of-3: this host's cores are noisy
-        t0 = time.perf_counter()
+    times = []
+    for _ in range(5):  # median-of-5: this host's cores swing 10-25x rep
+        t0 = time.perf_counter()  # to rep (shared/burstable VM)
         g = words[idx.reshape(-1)]  # [CPU_Q*K, WP]
         bits = np.unpackbits(g.view(np.uint8), axis=1)  # [N, WP*32]
         scores = bits.reshape(CPU_Q, K, -1).sum(axis=1, dtype=np.int32)
         _ = scores.max()
-        best = min(best, time.perf_counter() - t0)
-    return CPU_Q / best * CPU_THREADS_CREDIT
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    return CPU_Q / med * CPU_THREADS_CREDIT
 
 
 def _e2e_run(workdir, n_reads: int, seed: int) -> float:

@@ -48,6 +48,7 @@ class AlignParams:
     min_chain_cnt: int = 2  # sr -n
     min_chain_score: float = 20.0  # sr -m
     band: int = 128  # extension band width (diagonal drift allowance)
+    hpc: bool = False  # homopolymer-compressed sketching (map-pb -H)
     scoring: ope.SrScoring = field(default_factory=ope.SrScoring)
     max_anchors: int = 64  # padded anchor slots per (pair, strand)
     max_occ: int = 50  # high-frequency seed filter
@@ -91,6 +92,7 @@ class AlignParams:
             # (indels accumulate over kb-scale alignments); sr keeps one
             # 128-lane register. Multiples of 128 for TPU lane alignment.
             band=128 if preset == "sr" else 512,
+            hpc=(preset == "map-pb"),
             scoring=ope.SrScoring(
                 match=m, mismatch=x,
                 gap_open1=o1, gap_ext1=e1, gap_open2=o2, gap_ext2=e2,
@@ -113,7 +115,7 @@ class QuerySketch:
     @classmethod
     def make(cls, name: str, seq: str, params: AlignParams) -> "QuerySketch":
         codes = encode_seq(seq.encode())
-        mh, mp, mstr = opm.minimizers(codes, params.k, params.w)
+        mh, mp, mstr = opm.minimizers(codes, params.k, params.w, hpc=params.hpc)
         return cls(name, seq, codes, revcomp_codes(codes), mh, mp, mstr)
 
 
@@ -626,7 +628,7 @@ def align_genome(
     (mapped primary or unmapped), in query order."""
     if not sketches:
         return []
-    ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+    ref = opm.build_ref_index(rname, contigs, params.k, params.w, hpc=params.hpc)
     return flush_pairs(make_pairs_batch(ref, list(sketches), params), params, mesh)
 
 
@@ -695,7 +697,7 @@ def align_batch(
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = None
         for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
-            ref = opm.build_ref_index(rname, contigs, params.k, params.w)
+            ref = opm.build_ref_index(rname, contigs, params.k, params.w, hpc=params.hpc)
             sks = []
             for qi in rname_to_q[rname]:
                 if qi not in sketch_cache:

@@ -66,16 +66,31 @@ def packed_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minimizers(
-    codes: np.ndarray, k: int = KMER_SR, w: int = WINDOW_SR
+    codes: np.ndarray, k: int = KMER_SR, w: int = WINDOW_SR, hpc: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Minimizer sketch of a code sequence.
 
     Returns (hashes u64[M], positions int32[M], strand u8[M]) sorted by
     position; strand 0 = canonical k-mer is the forward packing.
 
+    hpc: homopolymer-compress first (minimap2 map-pb preset -H behavior):
+    k-mers are taken over run-compressed bases, making the sketch invariant
+    to homopolymer length errors; returned positions are RAW coordinates of
+    each k-mer's first base (so chaining and extension stay in raw space —
+    the minus-strand qpos adjustment is then approximate by up to the run
+    lengths inside the k-mer, well within the alignment band).
+
     Uses the native C++ path (phylign_tpu.native) when available; the numpy
     path below is the portable fallback and test oracle.
     """
+    if hpc and codes.shape[0] > 0:
+        keep = np.empty(codes.shape[0], bool)
+        keep[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=keep[1:])
+        raw_pos = np.flatnonzero(keep).astype(np.int32)
+        h, p, s = minimizers(codes[keep], k, w, hpc=False)
+        return h, raw_pos[p], s
+
     from phylign_tpu import native
 
     nat = native.native_minimizers(codes, k, w)
@@ -132,6 +147,7 @@ def build_ref_index(
     contigs: list[tuple[str, np.ndarray]],
     k: int = KMER_SR,
     w: int = WINDOW_SR,
+    hpc: bool = False,
 ) -> RefIndex:
     """Index a genome: per-contig minimizers in a global guarded coordinate
     space, sorted by hash for binary-search seeding.
@@ -153,7 +169,7 @@ def build_ref_index(
 
     hs, ps, ss = [], [], []
     for (_, codes), start in zip(contigs, starts):
-        h, p, s = minimizers(codes, k, w)
+        h, p, s = minimizers(codes, k, w, hpc=hpc)
         hs.append(h)
         ps.append(p + np.int32(start))
         ss.append(s)

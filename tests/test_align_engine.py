@@ -355,3 +355,46 @@ class TestWideBandPresets:
         assert rec.flag == 0 and rec.rname == "c1"
         assert f"200D" in rec.cigar, rec.cigar
         assert rec.pos == x + 1
+
+
+class TestHomopolymerCompression:
+    def test_hpc_sketch_invariant_to_run_lengths(self):
+        import numpy as np
+
+        from phylign_tpu.kmer import encode_seq
+        from phylign_tpu.ops import minimizer as opm
+
+        a = encode_seq(b"ACGTACGGGGTACGTTTACGATCGGATCGATTTACGCAT" * 4)
+        # expand some runs: duplicate a few bases in place
+        b = np.repeat(a, np.where(np.arange(len(a)) % 17 == 0, 3, 1))
+        ha, _, sa = opm.minimizers(a, k=9, w=5, hpc=True)
+        hb, _, sb = opm.minimizers(b, k=9, w=5, hpc=True)
+        assert set(map(int, ha)) == set(map(int, hb))
+
+    def test_map_pb_aligns_run_length_errors(self):
+        """A read whose homopolymer runs are lengthened (classic PacBio CLR
+        error mode) must still seed and align under map-pb (hpc=True)."""
+        import numpy as np
+
+        from phylign_tpu.align.engine import (
+            AlignParams,
+            QuerySketch,
+            align_genome,
+        )
+        from phylign_tpu.kmer import decode_seq
+
+        rng = np.random.default_rng(47)
+        params = AlignParams.from_preset("map-pb")
+        assert params.hpc
+        genome = rng.integers(0, 4, 40_000).astype(np.uint8)
+        x = 9_000
+        raw = genome[x : x + 1500]
+        # lengthen ~4% of positions into homopolymer insertions
+        dup = rng.random(1500) < 0.04
+        read_codes = np.repeat(raw, np.where(dup, 2, 1))
+        sk = QuerySketch.make("pb1", decode_seq(read_codes).decode(), params)
+        recs = align_genome("g", [("c1", genome)], [sk], params)
+        assert len(recs) >= 1
+        rec = recs[0]
+        assert rec.flag in (0, 16) and rec.rname == "c1", (rec.flag, rec.cigar)
+        assert abs(rec.pos - (x + 1)) < 50, rec.pos
