@@ -1,5 +1,9 @@
 """Align-stage microbenchmark on the real chip: pairs/s + phase breakdown."""
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 
 import numpy as np
 
@@ -9,8 +13,6 @@ from phylign_tpu.ops import minimizer as opm
 from phylign_tpu.utils.jaxcache import enable
 
 enable()
-
-import sys
 
 rng = np.random.default_rng(0)
 G = 3_000_000
