@@ -50,8 +50,8 @@ class AlignParams:
     band: int = 128  # extension band width (diagonal drift allowance)
     hpc: bool = False  # homopolymer-compressed sketching (map-pb -H)
     scoring: ope.SrScoring = field(default_factory=ope.SrScoring)
-    max_anchors: int = 64  # padded anchor slots per (pair, strand)
     max_occ: int = 50  # high-frequency seed filter
+    max_segments: int = 3  # split-read cap: primary + (max_segments-1) supps
 
     @classmethod
     def from_preset(cls, preset: str, extra_params: str = "") -> "AlignParams":
@@ -134,23 +134,55 @@ def _mesh_q(mesh) -> int:
     return 1 if mesh is None else mesh.shape["q"]
 
 
-def _chain_pairs(
-    anchor_sets: list[opm.Anchors], params: AlignParams, mesh=None
+# padded-anchor-slot buckets: anchor sets are grouped by size so a pool of
+# short-read pairs (<= 64 anchors) never pays long-read padding, while a
+# 10 kb map-ont read (~2k minimizer anchors) chains without truncation
+ANCHOR_BUCKETS = (64, 256, 1024, opc.MAX_ANCHORS)
+
+
+@dataclass
+class ChainHost:
+    """Host-side chain results aligned to the input anchor-set order."""
+
+    score: np.ndarray  # f32 [N]
+    count: np.ndarray  # int32 [N]
+    qs: np.ndarray
+    qe: np.ndarray
+    rs: np.ndarray
+    re: np.ndarray
+    alt: np.ndarray  # f32 [N] best overlapping competitor (s2 source)
+    sup_score: np.ndarray  # f32 [N, n_sup]
+    sup_count: np.ndarray
+    sup_qs: np.ndarray
+    sup_qe: np.ndarray
+    sup_rs: np.ndarray
+    sup_re: np.ndarray
+
+
+def _chain_bucket(
+    anchor_sets: list[opm.Anchors],
+    idxs: list[int],
+    a: int,
+    params: AlignParams,
+    mesh=None,
 ) -> opc.ChainResult:
-    """Chain a list of anchor sets as one padded device call (dp-sharded
-    over the pairs axis when a mesh is given)."""
-    p = _bucket_pairs(len(anchor_sets), _mesh_q(mesh))
-    a = params.max_anchors
+    """One padded device chain call over the given anchor-set indices."""
+    p = _bucket_pairs(len(idxs), _mesh_q(mesh))
     rpos = np.full((p, a), opc.PAD_POS, np.int32)
     qpos = np.full((p, a), opc.PAD_POS, np.int32)
     qmax = 0
-    for i, an in enumerate(anchor_sets):
+    for row, i in enumerate(idxs):
+        an = anchor_sets[i]
         n = min(len(an.rpos), a)
-        rpos[i, :n] = an.rpos[:n]
-        qpos[i, :n] = an.qpos[:n]
+        rpos[row, :n] = an.rpos[:n]
+        qpos[row, :n] = an.qpos[:n]
         if n:
             qmax = max(qmax, int(an.qpos[:n].max()))
-    kw = dict(k=params.k, max_gap=params.max_gap, bandwidth=params.bandwidth)
+    n_sup = max(0, params.max_segments - 1)
+    kw = dict(
+        k=params.k, max_gap=params.max_gap, bandwidth=params.bandwidth,
+        n_sup=n_sup,
+    )
     import jax
 
     if mesh is not None:
@@ -166,6 +198,73 @@ def _chain_pairs(
         return opc.chain_anchors_packed(rj, qj, **kw)
     rj, qj = jax.device_put((rpos, qpos))
     return opc.chain_anchors(rj, qj, **kw)
+
+
+log = __import__("logging").getLogger("phylign_tpu.align")
+
+
+def _chain_pairs(
+    anchor_sets: list[opm.Anchors], params: AlignParams, mesh=None
+) -> ChainHost:
+    """Chain all anchor sets, bucketed by anchor count (one padded device
+    call per occupied size bucket; dp-sharded over the pairs axis when a
+    mesh is given). Returns host arrays in anchor-set order."""
+    n = len(anchor_sets)
+    counts = [len(a.rpos) for a in anchor_sets]
+    over = [c for c in counts if c > opc.MAX_ANCHORS]
+    if over:
+        # no silent caps: truncation beyond the hard ceiling is loud
+        log.warning(
+            "%d anchor set(s) exceed MAX_ANCHORS=%d (largest %d); "
+            "chaining the first %d anchors of each",
+            len(over), opc.MAX_ANCHORS, max(over), opc.MAX_ANCHORS,
+        )
+    by_bucket: dict[int, list[int]] = {}
+    for i, c in enumerate(counts):
+        a_pad = next(b for b in ANCHOR_BUCKETS if min(c, opc.MAX_ANCHORS) <= b)
+        by_bucket.setdefault(a_pad, []).append(i)
+
+    n_sup = max(0, params.max_segments - 1)
+    host = ChainHost(
+        score=np.full(n, -1.0, np.float32),
+        count=np.zeros(n, np.int32),
+        qs=np.zeros(n, np.int32),
+        qe=np.zeros(n, np.int32),
+        rs=np.zeros(n, np.int32),
+        re=np.zeros(n, np.int32),
+        alt=np.full(n, -1.0, np.float32),
+        sup_score=np.full((n, n_sup), -1.0, np.float32),
+        sup_count=np.zeros((n, n_sup), np.int32),
+        sup_qs=np.zeros((n, n_sup), np.int32),
+        sup_qe=np.zeros((n, n_sup), np.int32),
+        sup_rs=np.zeros((n, n_sup), np.int32),
+        sup_re=np.zeros((n, n_sup), np.int32),
+    )
+    import jax
+
+    # dispatch every bucket first (async), then fetch each in one round trip
+    pending = [
+        (idxs, _chain_bucket(anchor_sets, idxs, a_pad, params, mesh))
+        for a_pad, idxs in sorted(by_bucket.items())
+    ]
+    for idxs, res in pending:
+        got = jax.device_get(res)
+        ii = np.asarray(idxs)
+        m = len(ii)
+        host.score[ii] = got.score[:m]
+        host.count[ii] = got.count[:m]
+        host.qs[ii] = got.qs[:m]
+        host.qe[ii] = got.qe[:m]
+        host.rs[ii] = got.rs[:m]
+        host.re[ii] = got.re[:m]
+        host.alt[ii] = got.alt_score[:m]
+        host.sup_score[ii] = got.sup_score[:m]
+        host.sup_count[ii] = got.sup_count[:m]
+        host.sup_qs[ii] = got.sup_qs[:m]
+        host.sup_qe[ii] = got.sup_qe[:m]
+        host.sup_rs[ii] = got.sup_rs[:m]
+        host.sup_re[ii] = got.sup_re[:m]
+    return host
 
 
 def _soft_clip_ends(cig: list[tuple[int, str]]) -> list[tuple[int, str]]:
@@ -295,13 +394,13 @@ def _diag_cigar(qc: np.ndarray, rseg: np.ndarray) -> list[tuple[int, str]]:
 
 def _extend_chunk(
     tasks: list[PairTask],
-    items: list[tuple[tuple[int, bool], tuple]],
+    items: list[tuple[tuple[int, int], tuple]],
     lmax: int,
     params: AlignParams,
     mesh=None,
-) -> dict[tuple[int, bool], SamRecord]:
+) -> dict[tuple[int, int], SamRecord]:
     """Banded extension + traceback for one length-bucketed chunk of chained
-    pairs. items: [((task idx, is_supplementary),
+    pairs. items: [((task idx, segment idx — 0 primary, >0 supplementary),
     (score, strand, qs, qe, rs, re, s2))].
 
     Two device passes: a score-only pass for everything, then a traceback-
@@ -309,7 +408,7 @@ def _extend_chunk(
     on the end diagonal. Short-read alignments are overwhelmingly gapless, so
     the expensive [P, L, BAND] plane transfer runs for a small remainder.
     """
-    records: dict[tuple[int, bool], SamRecord] = {}
+    records: dict[tuple[int, int], SamRecord] = {}
     p = _bucket_pairs(len(items), _mesh_q(mesh))
     n = len(items)
     wlen = lmax + params.band
@@ -324,7 +423,7 @@ def _extend_chunk(
     c_end_arr = np.zeros(n, np.int64)
     contig_ids: list[int] = []
     ref_of: list[opm.RefIndex] = []
-    for i, ((ti, _supp), (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+    for i, ((ti, _seg), (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         t = tasks[ti]
         ref = t.ref
         codes = t.sketch.rc_codes if strand else t.sketch.codes
@@ -444,7 +543,7 @@ def _extend_chunk(
             )
             cigars[i] = (cig, start_d)
 
-    for i, ((ti, supp), (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+    for i, ((ti, seg), (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         if i not in cigars:
             continue
         t = tasks[ti]
@@ -469,8 +568,8 @@ def _extend_chunk(
         de = round(nm / max(1, blen), 4)
         mapq = _mapq(csc, s2)
         seq = decode_seq(sk.rc_codes).decode() if strand else sk.seq
-        flag = (16 if strand else 0) | (2048 if supp else 0)
-        records[(ti, supp)] = SamRecord(
+        flag = (16 if strand else 0) | (2048 if seg else 0)
+        records[(ti, seg)] = SamRecord(
             qname=sk.name,
             flag=flag,
             rname=ref.contig_names[c],
@@ -510,38 +609,35 @@ def flush_pairs(
                 anchor_sets.append(an)
                 meta.append((ti, strand))
 
-    # ti -> [(score, strand, qs, qe, rs, re, count)] candidate chains
-    cands: dict[int, list[tuple[float, int, int, int, int, int, int]]] = {}
+    # ti -> [(score, strand, qs, qe, rs, re, count, alt)] candidate chains
+    # (device returns primary + up to max_segments-1 mostly-disjoint chains
+    # per (pair, strand); alt = best same-strand overlapping competitor)
+    cands: dict[int, list[tuple]] = {}
     if anchor_sets:
-        res = _chain_pairs(anchor_sets, params, mesh)
-        # one bulk device->host transfer: per-element float()/int() on JAX
-        # arrays costs a full dispatch round-trip EACH (~28 ms on the axon
-        # relay — measured 172 s of 279 s for a 1024-pair batch)
-        import jax
-
-        host = jax.device_get(
-            [
-                (res.score, res.count, res.qs, res.qe, res.rs, res.re),
-                (res.score2, res.count2, res.qs2, res.qe2, res.rs2, res.re2),
-            ]
-        )
+        ch = _chain_pairs(anchor_sets, params, mesh)
+        n_sup = ch.sup_score.shape[1]
         for i, (ti, strand) in enumerate(meta):
-            for c_score, c_count, c_qs, c_qe, c_rs, c_re in host:
-                sc = float(c_score[i])
-                cnt = int(c_count[i])
-                if cnt < params.min_chain_cnt or sc < params.min_chain_score:
-                    continue
-                cands.setdefault(ti, []).append(
-                    (
-                        sc,
-                        strand,
-                        int(c_qs[i]),
-                        int(c_qe[i]),
-                        int(c_rs[i]),
-                        int(c_re[i]),
-                        cnt,
-                    )
+            rows = [
+                (
+                    float(ch.score[i]), strand, int(ch.qs[i]), int(ch.qe[i]),
+                    int(ch.rs[i]), int(ch.re[i]), int(ch.count[i]),
+                    max(0.0, float(ch.alt[i])),
                 )
+            ] + [
+                (
+                    float(ch.sup_score[i, s]), strand,
+                    int(ch.sup_qs[i, s]), int(ch.sup_qe[i, s]),
+                    int(ch.sup_rs[i, s]), int(ch.sup_re[i, s]),
+                    int(ch.sup_count[i, s]), 0.0,
+                )
+                for s in range(n_sup)
+            ]
+            for row in rows:
+                if (
+                    row[6] >= params.min_chain_cnt
+                    and row[0] >= params.min_chain_score
+                ):
+                    cands.setdefault(ti, []).append(row)
 
     def _qov(a, b) -> float:
         """Query-interval overlap as a fraction of the shorter interval."""
@@ -549,21 +645,32 @@ def flush_pairs(
         span = max(1, min(a[3] - a[2], b[3] - b[2]))
         return ov / span
 
-    # primary selection + split-read supplementary (minimap2 mask_level 0.5:
-    # a lower-scoring chain covering a mostly-disjoint query interval becomes
-    # a flag-2048 segment rather than being dropped)
-    chained: list[tuple[tuple[int, bool], tuple]] = []
+    # primary selection + split-read supplementaries (minimap2 mask_level
+    # 0.5: each lower-scoring chain covering a query interval mostly
+    # disjoint from EVERY already-selected segment becomes a flag-2048
+    # record rather than being dropped); seg index 0 = primary
+    chained: list[tuple[tuple[int, int], tuple]] = []
     for ti, cl in sorted(cands.items()):
         cl.sort(key=lambda c: (-c[0], c[1], c[2]))
         prim = cl[0]
         rest = cl[1:]
-        s2 = max((c[0] for c in rest if _qov(c, prim) >= 0.5), default=0.0)
-        chained.append(((ti, False), prim[:6] + (s2,)))
-        supp = next((c for c in rest if _qov(c, prim) < 0.5), None)
-        if supp is not None:
-            chained.append(((ti, True), supp[:6] + (0.0,)))
+        # s2 for mapq: best competitor covering the primary's interval —
+        # from the host candidate set (cross-strand) or the device's
+        # same-strand alt score, whichever is larger
+        s2 = max(
+            [c[0] for c in rest if _qov(c, prim) >= 0.5] + [prim[7]],
+            default=0.0,
+        )
+        chained.append(((ti, 0), prim[:6] + (s2,)))
+        picked = [prim]
+        for c in rest:
+            if len(picked) >= params.max_segments:
+                break
+            if all(_qov(c, p) < 0.5 for p in picked):
+                chained.append(((ti, len(picked)), c[:6] + (0.0,)))
+                picked.append(c)
 
-    records: dict[tuple[int, bool], SamRecord] = {}
+    records: dict[tuple[int, int], SamRecord] = {}
     # group by query-length bucket and bound P*L so the extension's traceback
     # plane ([P, L, BAND] f32) stays within a fixed memory budget — long gene
     # queries (e.g. ARGannot, multi-kb) get smaller P per device call
@@ -581,18 +688,22 @@ def flush_pairs(
 
     out = []
     for ti, t in enumerate(tasks):
-        rec_p = records.get((ti, False))
-        rec_s = records.get((ti, True))
-        if rec_p is None and rec_s is not None:
-            # the better chain failed extension: the surviving segment IS the
-            # primary (minimap2 would have selected it the same way)
-            rec_p, rec_s = dataclasses.replace(rec_s, flag=rec_s.flag & ~2048), None
+        rec_p = records.get((ti, 0))
+        sups = [
+            records[(ti, s)]
+            for s in range(1, params.max_segments)
+            if (ti, s) in records
+        ]
+        if rec_p is None and sups:
+            # the best chain failed extension: the surviving best segment IS
+            # the primary (minimap2 would have selected it the same way)
+            rec_p = dataclasses.replace(sups[0], flag=sups[0].flag & ~2048)
+            sups = sups[1:]
         if rec_p is None:
             out.append(unmapped_record(t.sketch.name, t.sketch.seq))
             continue
         out.append(rec_p)
-        if rec_s is not None:
-            out.append(_hard_clip(rec_s))
+        out.extend(_hard_clip(r) for r in sups)
     return out
 
 

@@ -122,27 +122,33 @@ def cmd_all(args) -> None:
 
 
 def cmd_download(args) -> None:
-    from phylign_tpu.pipeline.download import download_batch
+    from phylign_tpu.pipeline.download import download_batches
     from phylign_tpu.pipeline.stages import Pipeline
 
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
-    only = getattr(args, "only", "all")
-    for batch in pl.batches():
-        need_cobs = only in ("all", "cobs") and not pl.cobs_path(batch).exists()
-        need_asms = only in ("all", "asms") and not pl.asms_path(batch).exists()
-        if not need_cobs and not need_asms:
-            print(f"{batch}: already present")
-            continue
-        want = "all" if (need_cobs and need_asms) else ("cobs" if need_cobs else "asms")
-        download_batch(
-            batch,
-            Path(args.workdir) / cfg.download_dir,
-            cfg.download_retries,
-            cfg.download_retry_wait,
-            only=want,
-        )
-        print(f"{batch}: downloaded ({want})")
+    status = download_batches(
+        pl.batches(),
+        Path(args.workdir) / cfg.download_dir,
+        cfg.download_retries,
+        cfg.download_retry_wait,
+        only=getattr(args, "only", "all"),
+        max_threads=cfg.max_download_threads,
+    )
+    for batch, st in status.items():
+        print(f"{batch}: {st}")
+
+
+def cmd_check_cluster(args) -> None:
+    """Abort (exit 1) unless the config is valid for a cluster run
+    (the reference's check_if_config_is_ok_for_cluster_run.py)."""
+    from phylign_tpu.parallel.launch import check_cluster_config
+
+    try:
+        check_cluster_config(_load_config(args))
+    except ValueError as e:
+        sys.exit(f"ERROR: {e}")
+    print("config OK for cluster run")
 
 
 def cmd_stats(args) -> None:
@@ -185,6 +191,20 @@ def cmd_build_index(args) -> None:
         f"built {args.out}: {idx.num_docs} docs, k={idx.term_size}, "
         f"{idx.signature_size} Bloom rows, {idx.num_hashes} hash(es)"
     )
+
+
+def cmd_inspect_index(args) -> None:
+    """Header diagnostic for a .cobs_classic[.xz] file: parsed fields +
+    sanity/payload checks (the offline format-compatibility probe; see
+    docs/cobs_format.md)."""
+    import json
+
+    from phylign_tpu.io.cobs import inspect_classic_index
+
+    report = inspect_classic_index(args.index)
+    print(json.dumps(report, indent=2))
+    if not report.get("ok"):
+        sys.exit(1)
 
 
 def cmd_index_sizes(args) -> None:
@@ -296,6 +316,12 @@ def main(argv: list[str] | None = None) -> None:
         help="artifact kind (make download_cobs / download_asms)",
     )
 
+    p = sub.add_parser(
+        "check-cluster", help="validate the config for a cluster run"
+    )
+    p.add_argument("--config", default="config.yaml")
+    p.add_argument("--workdir", default=".")
+
     p = sub.add_parser("config", help="print the resolved configuration")
     p.add_argument("--config", default="config.yaml")
     p.add_argument("--workdir", default=".")
@@ -335,6 +361,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--workdir", default=".")
 
     p = sub.add_parser(
+        "inspect-index",
+        help="parse + sanity-check a .cobs_classic header (format diagnostic)",
+    )
+    p.add_argument("index")
+
+    p = sub.add_parser(
         "index-sizes", help="scan cobs/*.xz decompressed sizes (RAM scheduling table)"
     )
     p.add_argument("--cobs-dir", default="cobs")
@@ -346,12 +378,14 @@ def main(argv: list[str] | None = None) -> None:
         "match": cmd_match,
         "map": cmd_map,
         "download": cmd_download,
+        "check-cluster": cmd_check_cluster,
         "config": cmd_config,
         "stats": cmd_stats,
         "clean": cmd_clean,
         "fixture": cmd_fixture,
         "test": cmd_test,
         "build-index": cmd_build_index,
+        "inspect-index": cmd_inspect_index,
         "report": cmd_report,
         "index-sizes": cmd_index_sizes,
     }[args.cmd](args)

@@ -9,12 +9,25 @@ unchanged; unknown keys error loudly so typos don't silently change runs.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
 import yaml
+
+log = logging.getLogger("phylign_tpu.config")
+
+# Keys accepted for reference-config compatibility that have no effect in
+# this architecture (ref: /root/reference/config.yaml:89-125). Each maps to
+# the one-line reason logged when a config sets it explicitly — silently
+# ignoring them would imply the reference semantics apply.
+INERT_KEYS = {
+    "cobs_threads": "COBS query threading is replaced by the device kernel grid",
+    "minimap_threads": "minimap2 threading is replaced by batched device alignment",
+    "prefer_pipe": "there are no inter-process pipes in this architecture",
+}
 
 
 @dataclass
@@ -69,6 +82,11 @@ class Config:
         unknown = set(data) - known
         if unknown:
             raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        for key in sorted(set(data) & set(INERT_KEYS)):
+            log.warning(
+                "config key %r accepted for compatibility but has no effect: %s",
+                key, INERT_KEYS[key],
+            )
         return cls(**data)
 
     def with_overrides(self, **kw: Any) -> "Config":

@@ -84,29 +84,74 @@ def _write_header(fp: BinaryIO, idx: ClassicIndex) -> None:
     fp.write(struct.pack("<Q", idx.signature_size))
 
 
+class CobsFormatError(ValueError):
+    """A .cobs_classic file failed a named header sanity check. Every check
+    carries a diagnosis so a field-order mismatch against real cobs-0.2.1
+    artifacts produces an actionable error (see docs/cobs_format.md), never
+    garbage scores."""
+
+
+def _check(cond: bool, field: str, value, hint: str) -> None:
+    if not cond:
+        raise CobsFormatError(
+            f"classic-index header field {field}={value!r} fails its sanity "
+            f"check ({hint}). This usually means the header field order "
+            "assumed here differs from the artifact's cobs version — see "
+            "docs/cobs_format.md for the assumed layout and how to verify it."
+        )
+
+
+def _read_names(fp: BinaryIO, num_docs: int) -> list[str]:
+    """NUL-terminated doc-name table, chunk-buffered (661k names in the real
+    artifacts; byte-at-a-time reads would cost ~20M syscalls)."""
+    names: list[str] = []
+    buf = b""
+    pos = 0
+    while len(names) < num_docs:
+        nul = buf.find(b"\0", pos)
+        if nul < 0:
+            chunk = fp.read(1 << 16)
+            if not chunk:
+                raise CobsFormatError(
+                    f"truncated doc-name table: got {len(names)} of "
+                    f"{num_docs} names before EOF"
+                )
+            buf = buf[pos:] + chunk
+            pos = 0
+            continue
+        names.append(buf[pos:nul].decode())
+        pos = nul + 1
+    # un-read the overshoot past the final NUL
+    if pos < len(buf):
+        fp.seek(pos - len(buf), io.SEEK_CUR)
+    return names
+
+
 def _read_header(fp: BinaryIO) -> ClassicIndex:
     magic = fp.read(len(MAGIC))
     if magic != MAGIC:
-        raise ValueError(f"not a COBS classic index (magic={magic!r})")
+        raise CobsFormatError(
+            f"not a COBS classic index: magic bytes {magic!r} != {MAGIC!r}"
+        )
     (version,) = struct.unpack("<I", fp.read(4))
     if version != VERSION:
-        raise ValueError(f"unsupported classic index version {version}")
+        raise CobsFormatError(f"unsupported classic index version {version}")
     (term_size,) = struct.unpack("<I", fp.read(4))
+    _check(1 <= term_size <= 64, "term_size", term_size,
+           "k-mer length must be 1..64; the 661k DB uses 31")
     (canonicalize,) = struct.unpack("<B", fp.read(1))
+    _check(canonicalize in (0, 1), "canonicalize", canonicalize,
+           "must be a 0/1 byte")
     (num_docs,) = struct.unpack("<I", fp.read(4))
-    names: list[str] = []
-    for _ in range(num_docs):
-        buf = bytearray()
-        while True:
-            b = fp.read(1)
-            if not b:
-                raise ValueError("truncated doc-name table")
-            if b == b"\0":
-                break
-            buf += b
-        names.append(buf.decode())
+    _check(0 < num_docs < 50_000_000, "num_docs", num_docs,
+           "documents per batch must be plausible (real batches hold ~2000)")
+    names = _read_names(fp, num_docs)
     (num_hashes,) = struct.unpack("<I", fp.read(4))
+    _check(1 <= num_hashes <= 16, "num_hashes", num_hashes,
+           "Bloom hash count must be 1..16; the 661k DB uses 1")
     (signature_size,) = struct.unpack("<Q", fp.read(8))
+    _check(0 < signature_size < (1 << 40), "signature_size", signature_size,
+           "Bloom row count must be positive and < 2^40")
     return ClassicIndex(
         term_size=term_size,
         canonicalize=bool(canonicalize),
@@ -145,13 +190,72 @@ def read_classic_index(path: str | os.PathLike) -> ClassicIndex:
         fp = open(p, "rb")
     try:
         idx = _read_header(fp)
-        payload = fp.read(idx.signature_size * idx.row_bytes)
-        if len(payload) != idx.signature_size * idx.row_bytes:
-            raise ValueError("truncated bit-matrix payload")
+        want = idx.signature_size * idx.row_bytes
+        payload = fp.read(want)
+        if len(payload) != want or fp.read(1):
+            got = len(payload) + (1 if len(payload) == want else 0)
+            raise CobsFormatError(
+                f"bit-matrix payload size mismatch: header implies "
+                f"{want} bytes ({idx.signature_size} rows x {idx.row_bytes} "
+                f"row-bytes) but the file holds "
+                f"{'more' if got > want else f'only {got}'}. The header "
+                "parsed without tripping a field check, but its layout "
+                "still disagrees with this file — see docs/cobs_format.md."
+            )
         idx.rows = np.frombuffer(payload, dtype=np.uint8).reshape(
             idx.signature_size, idx.row_bytes
         )
         return idx
+    finally:
+        fp.close()
+
+
+def inspect_classic_index(path: str | os.PathLike) -> dict:
+    """Parse ONLY the header and report every field plus sanity/payload
+    diagnostics — the offline compatibility probe for real Zenodo artifacts
+    (run `phylign-tpu inspect-index <file>` on a real download; if all checks
+    pass, the format guess documented in docs/cobs_format.md is confirmed)."""
+    p = str(path)
+    if p.endswith(".xz"):
+        with lzma.open(p, "rb") as f:
+            data = f.read()
+        total = len(data)
+        fp: BinaryIO = io.BytesIO(data)
+    else:
+        total = os.stat(p).st_size
+        fp = open(p, "rb")
+    report: dict = {"path": p, "total_bytes": total, "ok": False}
+    try:
+        idx = _read_header(fp)
+        header_end = fp.tell()
+        want = idx.signature_size * idx.row_bytes
+        report.update(
+            term_size=idx.term_size,
+            canonicalize=idx.canonicalize,
+            num_docs=idx.num_docs,
+            num_hashes=idx.num_hashes,
+            signature_size=idx.signature_size,
+            row_bytes=idx.row_bytes,
+            header_bytes=header_end,
+            payload_bytes_expected=want,
+            payload_bytes_actual=total - header_end,
+            doc_names_head=idx.doc_names[:3],
+            doc_names_rid_prefixed=all(
+                "_" in n and n.partition("_")[0].isdigit()
+                for n in idx.doc_names[:16]
+            ),
+        )
+        if total - header_end != want:
+            report["error"] = (
+                "payload size mismatch: header layout likely differs "
+                "from this artifact's cobs version"
+            )
+        else:
+            report["ok"] = True
+        return report
+    except CobsFormatError as e:
+        report["error"] = str(e)
+        return report
     finally:
         fp.close()
 

@@ -62,13 +62,21 @@ def write_batch_sam(path: str | os.PathLike, records: Iterable[SamRecord]) -> No
 
 
 def aggregate_sams(
-    out_path: str | os.PathLike, batch_sam_paths: Sequence[str | os.PathLike]
+    out_path: str | os.PathLike,
+    batch_sam_paths: Sequence[str | os.PathLike],
+    banners: Sequence[str] | None = None,
 ) -> None:
     """Concatenate per-batch sam.gz files with gzip'd '==> path <==' banners
-    between members (aggregate_sams.sh contract; relies on multi-member gzip)."""
+    between members (aggregate_sams.sh contract; relies on multi-member gzip).
+
+    ``banners`` overrides the banner text per file (the pipeline passes
+    workdir-relative paths so banner lines are byte-identical to the
+    reference's, which runs from the workdir:
+    /root/reference/scripts/aggregate_sams.sh:13-24)."""
+    texts = [str(p) for p in batch_sam_paths] if banners is None else list(banners)
     with open(str(out_path), "wb") as out:
-        for i, p in enumerate(batch_sam_paths):
-            banner = ("" if i == 0 else "\n") + f"==> {p} <==\n"
+        for i, (p, text) in enumerate(zip(batch_sam_paths, texts)):
+            banner = ("" if i == 0 else "\n") + f"==> {text} <==\n"
             out.write(gzip.compress(banner.encode(), compresslevel=1))
             with open(str(p), "rb") as f:
                 out.write(f.read())

@@ -156,12 +156,13 @@ def filter_queries_arrays(
         nq = len(pm.qnames)
         if nq == 0:
             continue
-        try:
-            qidx = np.array([name_to_qi[n] for n in pm.qnames], np.int64)
-        except KeyError as e:
-            raise ValueError(
-                f"match file for batch {b} lists unknown query {e.args[0]!r}"
-            ) from None
+        # unknown query names get a synthetic empty-sequence record, like
+        # filter_queries does (and the reference tolerates)
+        for n in pm.qnames:
+            if n not in name_to_qi:
+                name_to_qi[n] = len(records)
+                records.append(FastxRecord(n, "", ""))
+        qidx = np.array([name_to_qi[n] for n in pm.qnames], np.int64)
         counts = np.diff(np.concatenate(([0], pm.hit_end)))
         if pm.hit_end[-1] == 0:
             continue

@@ -279,15 +279,17 @@ int64_t parse_match_text(const uint8_t* buf, int64_t n,
       int64_t t = i;
       while (t < e && buf[t] != '\t') t++;
       if (t >= e) return -1;
-      // parse the integer after the tab
+      // parse the integer after the tab; bound the digit count so corrupt
+      // or hostile input fails cleanly (-1 -> numpy fallback) instead of
+      // overflowing signed int64 (UB) or silently truncating to int32
       int64_t v = 0;
-      bool any = false;
+      int digits = 0;
       for (int64_t p = t + 1; p < e; p++) {
         if (buf[p] < '0' || buf[p] > '9') return -1;
+        if (++digits > 18) return -1;
         v = v * 10 + (buf[p] - '0');
-        any = true;
       }
-      if (!any) return -1;
+      if (digits == 0) return -1;
       if (buf[i] == '*') {
         // header: "*qname\tN" — qname drops any FASTA comment after ' '
         qi++;
@@ -320,6 +322,7 @@ int64_t parse_match_text(const uint8_t* buf, int64_t n,
         } else {
           id = it->second;
         }
+        if (v > INT32_MAX) return -1;  // score must fit its int32 column
         hit_acc_id[hi] = id;
         hit_score[hi] = (int32_t)v;
         hi++;

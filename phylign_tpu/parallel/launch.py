@@ -68,6 +68,26 @@ def init_distributed(
     return num_processes, process_id
 
 
+def check_cluster_config(cfg) -> None:
+    """Cluster-mode config precheck (the reference aborts a cluster run when
+    resource knobs are auto-scaled, since per-job resources must be fixed at
+    submit time: /root/reference/scripts/check_if_config_is_ok_for_cluster_run.py:1-20).
+    Here the analogous auto-scaled knobs are ``threads`` and ``cobs_threads``."""
+    problems = []
+    for key in ("threads", "cobs_threads"):
+        val = getattr(cfg, key)
+        try:
+            int(val)
+        except (TypeError, ValueError):
+            problems.append(
+                f"{key} must be a fixed int for cluster runs (got {val!r})"
+            )
+    if problems:
+        raise ValueError(
+            "config is not valid for a cluster run: " + "; ".join(problems)
+        )
+
+
 def shard_batches(batches: list[str], num_processes: int, process_id: int) -> list[str]:
     """Deterministic round-robin batch assignment (the outer parallel axis;
     mirrors the reference's one-cluster-job-per-batch scheduling)."""

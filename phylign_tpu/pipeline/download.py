@@ -85,6 +85,65 @@ def download_file(
     raise RuntimeError(f"download failed after {retries + 1} attempts: {url}") from last
 
 
+def download_batches(
+    batches: list[str],
+    download_dir: str | os.PathLike,
+    retries: int = 3,
+    retry_wait: int = 10,
+    only: str = "all",
+    max_threads: int = 8,
+    skip_existing: bool = True,
+) -> dict[str, str]:
+    """Fetch many batches' artifacts with bounded parallelism.
+
+    The reference downloads with an N-way semaphore (``max_download_threads``,
+    ref: /root/reference/Snakefile:267-302, Makefile:29); here a thread pool
+    of ``max_threads`` workers runs one artifact fetch per task, each with
+    the standard per-file retry/backoff. Returns batch -> status
+    ('downloaded (<kind>)' or 'already present'). Raises the first failure
+    after letting in-flight fetches finish (keep-going semantics)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    d = Path(download_dir)
+    todo: list[tuple[str, str, str, Path]] = []  # (batch, kind, url, out)
+    status: dict[str, str] = {}
+    for batch in batches:
+        kinds = []
+        if only in ("all", "cobs"):
+            out = d / "cobs" / f"{batch}.cobs_classic.xz"
+            if not (skip_existing and out.exists()):
+                kinds.append(("cobs", cobs_url(batch), out))
+        if only in ("all", "asms"):
+            out = d / "asms" / f"{batch}.tar.xz"
+            if not (skip_existing and out.exists()):
+                kinds.append(("asms", asms_url(batch), out))
+        if not kinds:
+            status[batch] = "already present"
+            continue
+        status[batch] = "downloaded (%s)" % "+".join(k for k, _, _ in kinds)
+        todo.extend((batch, k, url, out) for k, url, out in kinds)
+
+    errors: list[tuple[str, Exception]] = []
+    lock_err = __import__("threading").Lock()
+
+    def fetch(task):
+        batch, kind, url, out = task
+        try:
+            download_file(url, out, retries, retry_wait)
+        except Exception as e:  # noqa: BLE001 - keep going, collect
+            with lock_err:
+                errors.append((f"{batch}:{kind}", e))
+
+    with ThreadPoolExecutor(max_workers=max(1, max_threads)) as ex:
+        list(ex.map(fetch, todo))
+    if errors:
+        name, err = errors[0]
+        raise RuntimeError(
+            f"{len(errors)} download(s) failed; first: {name}: {err}"
+        ) from err
+    return status
+
+
 def download_batch(
     batch: str,
     download_dir: str | os.PathLike,

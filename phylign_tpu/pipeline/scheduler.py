@@ -93,6 +93,13 @@ class Scheduler:
         # HBM. The device_lock then only serializes compute submissions.
         self.hbm = RamPool(hbm_mb)
 
+    def flush_slot(self, hbm_mb: int = 640) -> "_FlushSlot":
+        """Context guarding one align device flush: a device slot AND an HBM
+        reservation for its buffers (the extension's traceback plane can
+        reach ~0.5 GB; charging it here keeps two concurrent align flushes
+        plus resident match indexes within the device budget)."""
+        return _FlushSlot(self, hbm_mb)
+
     def run(self, jobs: list[Job]) -> dict[str, Any]:
         """Run all jobs; returns name -> result. Raises the first error after
         letting independent jobs finish (keep-going semantics)."""
@@ -141,3 +148,21 @@ class Scheduler:
             log.error("%d job(s) failed; first: %s", len(errors), name)
             raise err
         return results
+
+
+class _FlushSlot:
+    """Re-entrant-safe (stateless) combined device-slot + HBM context."""
+
+    def __init__(self, sched: "Scheduler", hbm_mb: int):
+        self.sched = sched
+        self.hbm_mb = hbm_mb
+
+    def __enter__(self):
+        self.sched.device_slots.acquire()
+        self.sched.hbm.acquire(self.hbm_mb)
+        return self
+
+    def __exit__(self, *exc):
+        self.sched.hbm.release(self.hbm_mb)
+        self.sched.device_slots.release()
+        return False

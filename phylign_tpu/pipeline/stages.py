@@ -195,6 +195,15 @@ class Pipeline:
                 write_match_file(f, matches, keep=self.cfg.nb_best_hits)
             commit()
         self.manifest.mark("match", f"{batch}____{stem}", [str(out)])
+        if (
+            self.cfg.index_load_mode != "mem-stream"
+            and not self.cfg.keep_cobs_indexes
+        ):
+            # reference semantics: the decompressed index is temp() unless
+            # keep_cobs_indexes (config.yaml:131-138, Snakefile:182-188) —
+            # at full scale the cache would otherwise grow to ~1 TB
+            del didx  # release the mmap before unlinking
+            self.drop_index_cache(batch)
         return out
 
     def _decompression_dir(self) -> Path:
@@ -336,8 +345,33 @@ class Pipeline:
             return out
         with benchmark(self.logs, "translate_matches", stem):
             parsed = None
+            reserved_mb = 0
             if self.cfg.filter_mode != "streaming":
-                parsed = self._parse_matches_native(batches, stem)
+                # RAM-account the in-memory parse: decompressed text ~8x the
+                # .gz plus parsed arrays; fall back to the constant-memory
+                # streaming path when the estimate exceeds the RAM budget
+                est_mb = max(
+                    64,
+                    int(
+                        sum(
+                            self.match_path(b, stem).stat().st_size
+                            for b in batches
+                            if self.match_path(b, stem).exists()
+                        )
+                        * 12
+                        / 1e6
+                    ),
+                )
+                if est_mb > self.sched.ram.total:
+                    log.warning(
+                        "match files too large for the in-RAM filter "
+                        "(~%d MB est > %d MB budget); streaming instead",
+                        est_mb, self.sched.ram.total,
+                    )
+                else:
+                    self.sched.ram.acquire(est_mb)
+                    reserved_mb = est_mb
+                    parsed = self._parse_matches_native(batches, stem)
             handles = []
             try:
                 if parsed is not None:
@@ -369,6 +403,8 @@ class Pipeline:
             finally:
                 for h in handles:
                     h.close()
+                if reserved_mb:
+                    self.sched.ram.release(reserved_mb)
         self.manifest.mark("filter", stem, [str(out)])
         return out
 
@@ -428,7 +464,7 @@ class Pipeline:
                     accessions,
                     params,
                     mesh=self.mesh(),
-                    device_lock=self.sched.device_slots,
+                    device_lock=self.sched.flush_slot(),
                     pair_chunk=self.cfg.device_pair_chunk,
                 )
             )
@@ -475,7 +511,17 @@ class Pipeline:
         out = self.out / f"{stem}.sam_summary.gz"
         with benchmark(self.logs, "aggregate_sams", stem):
             tmp, commit = atomic_write_via(out)
-            aggregate_sams(tmp, [self.map_path(b, stem) for b in batches])
+            # banner text is workdir-relative, byte-identical to the
+            # reference's `==> intermediate/05_map/... <==` lines
+            # (ref: aggregate_sams.sh invoked with relative paths)
+            aggregate_sams(
+                tmp,
+                [self.map_path(b, stem) for b in batches],
+                banners=[
+                    f"{self.cfg.intermediate_dir}/05_map/{b}____{stem}.sam.gz"
+                    for b in batches
+                ],
+            )
             commit()
         return out
 

@@ -9,5 +9,8 @@ set -euo pipefail
 NUM="${1:?num_tasks}"
 PHASE="${2:?phase}"
 shift 2
+# reference-parity precheck: abort before submitting if the config has
+# auto-scaled knobs (check_if_config_is_ok_for_cluster_run.py analog)
+python -m phylign_tpu.cli check-cluster
 sbatch --array=0-$((NUM - 1)) --wrap="python -m phylign_tpu.cli ${PHASE} \
   --num-processes ${NUM} --process-id \${SLURM_ARRAY_TASK_ID} $*"

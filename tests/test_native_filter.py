@@ -102,11 +102,17 @@ class TestFilterArrays:
         for w, g in zip(want, got):
             assert g.candidates == w.candidates
 
-    def test_unknown_query_rejected(self):
+    def test_unknown_query_tolerated(self):
+        # like filter_queries (and the reference): a match-file query absent
+        # from the merged FASTA yields a synthetic empty-sequence entry
+        # instead of aborting the filter stage (ADVICE round-1 fix)
         records = [FastxRecord("q00", "", "ACGT")]
         pm = native_parse_match_text(b"*mystery\t1\n_A\t2\n")
-        with pytest.raises(ValueError, match="unknown query"):
-            flt.filter_queries_arrays(records, {"b__01": pm}, 5)
+        out = flt.filter_queries_arrays(records, {"b__01": pm}, 5)
+        by_name = {q.qname: q for q in out}
+        assert by_name["q00"].candidates == []
+        assert by_name["mystery"].seq == ""
+        assert by_name["mystery"].candidates == [("b__01", "A", 2)]
 
 
 class TestNativeTopkCore:
