@@ -111,12 +111,20 @@ class QuerySketch:
     mh: np.ndarray  # minimizer hashes
     mp: np.ndarray  # minimizer positions
     ms: np.ndarray  # minimizer strands
+    _rc: str | None = None  # lazily cached reverse-complement sequence text
 
     @classmethod
     def make(cls, name: str, seq: str, params: AlignParams) -> "QuerySketch":
         codes = encode_seq(seq.encode())
         mh, mp, mstr = opm.minimizers(codes, params.k, params.w, hpc=params.hpc)
         return cls(name, seq, codes, revcomp_codes(codes), mh, mp, mstr)
+
+    def rc_seq(self) -> str:
+        """Reverse-complement SEQ text, decoded once per sketch (a sketch is
+        reused across every genome it pairs with)."""
+        if self._rc is None:
+            self._rc = decode_seq(self.rc_codes).decode()
+        return self._rc
 
 
 def _round_up(x: int, m: int) -> int:
@@ -392,6 +400,25 @@ def _diag_cigar(qc: np.ndarray, rseg: np.ndarray) -> list[tuple[int, str]]:
     ]
 
 
+def _cigar_from_mismatches(cols: list[int], qlen: int) -> list[tuple[int, str]]:
+    """Run-length =/X cigar from sorted mismatch columns — pure-python ints
+    over the handful of mismatches, instead of numpy passes over the whole
+    row per record (the round-1 per-record hot spot)."""
+    runs: list[tuple[int, str]] = []
+    prev = 0
+    for c in cols:
+        if c > prev:
+            runs.append((c - prev, "="))
+        if runs and runs[-1][1] == "X":
+            runs[-1] = (runs[-1][0] + 1, "X")
+        else:
+            runs.append((1, "X"))
+        prev = c + 1
+    if qlen > prev:
+        runs.append((qlen - prev, "="))
+    return runs
+
+
 def _extend_chunk(
     tasks: list[PairTask],
     items: list[tuple[tuple[int, int], tuple]],
@@ -417,33 +444,36 @@ def _extend_chunk(
     rwin = np.zeros((p, wlen), np.uint8)
     rvalid = np.zeros((p, wlen), bool)
     half = params.band // 2
-    # per-item scalars first (cheap python), then one vectorized window gather
-    w0_arr = np.zeros(n, np.int64)
-    c_start_arr = np.zeros(n, np.int64)
-    c_end_arr = np.zeros(n, np.int64)
-    contig_ids: list[int] = []
+    # ragged query-code row fills (memcpy each), plus ref grouping; every
+    # per-item scalar below is derived in bulk numpy per ref group
     ref_of: list[opm.RefIndex] = []
+    rs_arr = np.fromiter(
+        (it[1][4] for it in items), np.int64, count=n
+    )
+    qs_arr = np.fromiter((it[1][2] for it in items), np.int64, count=n)
+    by_ref: dict[int, list[int]] = {}
     for i, ((ti, _seg), (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         t = tasks[ti]
-        ref = t.ref
         codes = t.sketch.rc_codes if strand else t.sketch.codes
         q_codes[i, : len(codes)] = codes
         q_len[i] = len(codes)
-        w0_arr[i] = (rs - qs) - half
-        c, _ = ref.contig_of(max(0, min(rs, len(ref.codes) - 1)))
-        c_start_arr[i] = int(ref.contig_starts[c])
-        c_end_arr[i] = c_start_arr[i] + int(ref.contig_lens[c])
-        contig_ids.append(c)
-        ref_of.append(ref)
-    # group items by ref object so each genome's codes are gathered in one
-    # fancy-indexing call ([n_items_of_ref, wlen]) instead of per-item rows
-    by_ref: dict[int, list[int]] = {}
-    for i in range(n):
-        by_ref.setdefault(id(ref_of[i]), []).append(i)
+        ref_of.append(t.ref)
+        by_ref.setdefault(id(t.ref), []).append(i)
+    w0_arr = rs_arr - qs_arr - half
+    c_start_arr = np.zeros(n, np.int64)
+    c_end_arr = np.zeros(n, np.int64)
+    contig_ids = np.zeros(n, np.int64)
     span = np.arange(wlen)
+    # per ref group: one searchsorted for contigs + one fancy-indexed window
+    # gather ([m, wlen]) instead of per-item python
     for idxs in by_ref.values():
         ii = np.asarray(idxs)
         ref = ref_of[idxs[0]]
+        rs_c = np.clip(rs_arr[ii], 0, len(ref.codes) - 1)
+        cs = np.searchsorted(ref.contig_starts, rs_c, side="right") - 1
+        contig_ids[ii] = cs
+        c_start_arr[ii] = ref.contig_starts[cs]
+        c_end_arr[ii] = c_start_arr[ii] + ref.contig_lens[cs]
         idx2 = w0_arr[ii, None] + span  # [m, wlen]
         ok = (idx2 >= c_start_arr[ii, None]) & (idx2 < c_end_arr[ii, None])
         vals = ref.codes[np.clip(idx2, 0, len(ref.codes) - 1)]
@@ -489,18 +519,29 @@ def _extend_chunk(
     in_q = np.arange(lmax)[None, :] < q_len[:n, None]
     rseg_all = rwin[rows, colspan]
     vseg_all = rvalid[rows, colspan] | ~in_q
-    neq_all = ((q_codes[:n] != rseg_all) & in_q).sum(axis=1)
+    neq_mask = (q_codes[:n] != rseg_all) & in_q
+    neq_all = neq_mask.sum(axis=1)
     diag_ok = vseg_all.all(axis=1) & (
         match_s * (q_len[:n] - neq_all) - mis_s * neq_all == scores[:n].astype(np.int64)
     )
+    # ALL per-record scalars converted host-side in bulk (a python-int list
+    # indexes ~100x faster than per-element numpy scalar conversion)
+    q_len_l = q_len[:n].tolist()
+    end_l = end_ds[:n].tolist()
+    diag_ok_l = diag_ok.tolist()
+    # mismatch columns per gapless record, from ONE nonzero pass
+    mrow, mcol = np.nonzero(neq_mask & diag_ok[:, None])
+    mrow_l, mcol_l = mrow.tolist(), mcol.tolist()
+    mis_of: dict[int, list[int]] = {}
+    for r_, c_ in zip(mrow_l, mcol_l):
+        mis_of.setdefault(r_, []).append(c_)
     gapped: list[int] = []  # chunk-local indices needing the plane pass
     cigars: dict[int, tuple[list[tuple[int, str]], int]] = {}
     for i in range(n):
-        if diag_ok[i]:
-            qlen = int(q_len[i])
+        if diag_ok_l[i]:
             cigars[i] = (
-                _diag_cigar(q_codes[i, :qlen], rseg_all[i, :qlen]),
-                int(end_ds[i]),
+                _cigar_from_mismatches(mis_of.get(i, ()), q_len_l[i]),
+                end_l[i],
             )
         else:
             gapped.append(i)
@@ -535,14 +576,21 @@ def _extend_chunk(
                 gq, gl, gr, glo, ghi, lmax, wlen, scoring=params.scoring
             )
         p_planes = np.asarray(ext.p_plane)
+        # batched plane reconstruction (H/D/I for every gapped pair at once),
+        # then a cheap scalar walk per pair
+        planes_all = ope.reconstruct_planes(
+            p_planes[: len(gi)], params.scoring
+        )
         for gj, i in enumerate(gapped):
-            qlen = int(q_len[i])
-            cig, start_d = ope.traceback_one(
-                p_planes[gj], q_codes[i], qlen, rwin[i], int(end_ds[i]),
+            cig, start_d = ope.traceback_walk(
+                tuple(x[gj] for x in planes_all),
+                p_planes[gj], q_codes[i], q_len_l[i], rwin[i], end_l[i],
                 params.scoring, rvalid=rvalid[i],
             )
             cigars[i] = (cig, start_d)
 
+    w0_l = w0_arr.tolist()
+    c_start_l = c_start_arr.tolist()
     for i, ((ti, seg), (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         if i not in cigars:
             continue
@@ -556,26 +604,32 @@ def _extend_chunk(
         if dp_score < params.scoring.min_dp_score:
             continue
         cig = _soft_clip_ends(cig)
-        gstart = w0s[i] + start_d + lead_r
-        c = contig_ids[i]
-        pos = gstart - int(ref.contig_starts[c]) + 1
-        n_x = sum(n for n, op in cig if op == "X")
-        n_i = sum(n for n, op in cig if op == "I")
-        n_d = sum(n for n, op in cig if op == "D")
-        n_eq = sum(n for n, op in cig if op == "=")
+        pos = w0_l[i] + start_d + lead_r - c_start_l[i] + 1
+        # one pass over the few runs: op counts + string
+        n_eq = n_x = n_i = n_d = 0
+        parts = []
+        for nn, op in cig:
+            parts.append(f"{nn}{op}")
+            if op == "=":
+                n_eq += nn
+            elif op == "X":
+                n_x += nn
+            elif op == "I":
+                n_i += nn
+            elif op == "D":
+                n_d += nn
         nm = n_x + n_i + n_d
-        blen = n_eq + n_x + n_i + n_d
-        de = round(nm / max(1, blen), 4)
+        de = round(nm / max(1, n_eq + nm), 4)
         mapq = _mapq(csc, s2)
-        seq = decode_seq(sk.rc_codes).decode() if strand else sk.seq
+        seq = sk.rc_seq() if strand else sk.seq
         flag = (16 if strand else 0) | (2048 if seg else 0)
         records[(ti, seg)] = SamRecord(
             qname=sk.name,
             flag=flag,
-            rname=ref.contig_names[c],
+            rname=ref.contig_names[contig_ids[i]],
             pos=pos,
             mapq=mapq,
-            cigar=_cigar_str(cig),
+            cigar="".join(parts),
             seq=seq,
             tags=[
                 f"NM:i:{nm}",
@@ -616,28 +670,32 @@ def flush_pairs(
     if anchor_sets:
         ch = _chain_pairs(anchor_sets, params, mesh)
         n_sup = ch.sup_score.shape[1]
+        # bulk tolist: python lists index ~100x faster than per-element numpy
+        # scalar conversion over the 3x meta sweep below
+        sc_l, cnt_l = ch.score.tolist(), ch.count.tolist()
+        qs_l, qe_l = ch.qs.tolist(), ch.qe.tolist()
+        rs_l, re_l = ch.rs.tolist(), ch.re.tolist()
+        alt_l = ch.alt.tolist()
+        ssc_l, scnt_l = ch.sup_score.tolist(), ch.sup_count.tolist()
+        sqs_l, sqe_l = ch.sup_qs.tolist(), ch.sup_qe.tolist()
+        srs_l, sre_l = ch.sup_rs.tolist(), ch.sup_re.tolist()
+        min_cnt, min_sc = params.min_chain_cnt, params.min_chain_score
         for i, (ti, strand) in enumerate(meta):
-            rows = [
-                (
-                    float(ch.score[i]), strand, int(ch.qs[i]), int(ch.qe[i]),
-                    int(ch.rs[i]), int(ch.re[i]), int(ch.count[i]),
-                    max(0.0, float(ch.alt[i])),
+            if cnt_l[i] >= min_cnt and sc_l[i] >= min_sc:
+                cands.setdefault(ti, []).append(
+                    (
+                        sc_l[i], strand, qs_l[i], qe_l[i], rs_l[i], re_l[i],
+                        cnt_l[i], max(0.0, alt_l[i]),
+                    )
                 )
-            ] + [
-                (
-                    float(ch.sup_score[i, s]), strand,
-                    int(ch.sup_qs[i, s]), int(ch.sup_qe[i, s]),
-                    int(ch.sup_rs[i, s]), int(ch.sup_re[i, s]),
-                    int(ch.sup_count[i, s]), 0.0,
-                )
-                for s in range(n_sup)
-            ]
-            for row in rows:
-                if (
-                    row[6] >= params.min_chain_cnt
-                    and row[0] >= params.min_chain_score
-                ):
-                    cands.setdefault(ti, []).append(row)
+            for s in range(n_sup):
+                if scnt_l[i][s] >= min_cnt and ssc_l[i][s] >= min_sc:
+                    cands.setdefault(ti, []).append(
+                        (
+                            ssc_l[i][s], strand, sqs_l[i][s], sqe_l[i][s],
+                            srs_l[i][s], sre_l[i][s], scnt_l[i][s], 0.0,
+                        )
+                    )
 
     def _qov(a, b) -> float:
         """Query-interval overlap as a fraction of the shorter interval."""

@@ -58,6 +58,22 @@ def _inputs(args) -> list[str]:
     return sorted(found)
 
 
+def _maybe_distributed(args) -> None:
+    """--distributed [COORD]: initialize jax.distributed before any backend
+    touch, so a multi-process run can form one global device mesh
+    (mesh_shape spanning processes) and/or shard batches by rank. With no
+    COORD the scheduler env (SLURM/LSF) is auto-detected."""
+    spec = getattr(args, "distributed", None)
+    if spec is None:
+        return
+    from phylign_tpu.parallel.launch import init_distributed
+
+    coord = None if spec == "auto" else spec
+    num, pid = init_distributed(coordinator=coord)
+    if num > 1 and getattr(args, "num_processes", None) is None:
+        args.num_processes, args.process_id = num, pid
+
+
 def _my_batches(args, pl) -> tuple[list[str], int, int]:
     """Batch subset for this process (cluster-style sharding over a shared
     filesystem, like the reference's one-job-per-batch cluster mode)."""
@@ -72,6 +88,7 @@ def _my_batches(args, pl) -> tuple[list[str], int, int]:
 def cmd_match(args) -> None:
     from phylign_tpu.pipeline.stages import Pipeline
 
+    _maybe_distributed(args)
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
     stem = pl.preprocess(_inputs(args))
@@ -94,6 +111,7 @@ def cmd_match(args) -> None:
 def cmd_map(args) -> None:
     from phylign_tpu.pipeline.stages import Pipeline
 
+    _maybe_distributed(args)
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
     stem = pl.preprocess(_inputs(args))
@@ -115,6 +133,7 @@ def cmd_map(args) -> None:
 def cmd_all(args) -> None:
     from phylign_tpu.pipeline.stages import Pipeline
 
+    _maybe_distributed(args)
     cfg = _load_config(args)
     pl = Pipeline(cfg, args.workdir)
     out = pl.run_all(_inputs(args))
@@ -300,6 +319,12 @@ def main(argv: list[str] | None = None) -> None:
         )
         p.add_argument(
             "--process-id", type=int, default=None, help="this process's rank"
+        )
+        p.add_argument(
+            "--distributed", nargs="?", const="auto", default=None,
+            metavar="COORD",
+            help="initialize jax.distributed (multi-host): coordinator "
+            "host[:port], or bare flag to auto-detect from SLURM/LSF env",
         )
         if queries:
             p.add_argument("queries", nargs="*", help="query fast[aq] files")

@@ -58,6 +58,11 @@ class Config:
 
     # --- TPU-native extensions (no reference equivalent) ---
     device_hbm_gb: float = 12.0  # HBM budget for resident batch indexes
+    # device-resident index cache (content-hash keyed): repeated runs over
+    # the same batches skip the index H2D upload entirely — the dominant
+    # per-batch cost through a slow host-device link. Carved out of the HBM
+    # budget at pipeline init; 0 disables.
+    device_index_cache_gb: float = 4.0
     device_query_chunk: int = 1024  # queries per match device call
     device_pair_chunk: int = 4096  # align pairs pooled per device flush
     mesh_shape: str = "1x1"  # doc-shard x data-parallel mesh (parallel.mesh)

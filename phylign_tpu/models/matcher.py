@@ -149,9 +149,15 @@ class Matcher:
         if mesh is None:
             words = jnp.asarray(padded)
         else:
-            from phylign_tpu.parallel.mesh import words_sharding
+            from jax.sharding import PartitionSpec as P
 
-            words = jax.device_put(padded, words_sharding(mesh))
+            from phylign_tpu.parallel.dist import global_array
+            from phylign_tpu.parallel.mesh import AXIS_DOC
+
+            # global array: single-process this is a sharded device_put;
+            # multi-process (jax.distributed) each host uploads only its
+            # own doc-column shards
+            words = global_array(mesh, padded, P(None, AXIS_DOC))
         return cls(
             term_size=didx.term_size,
             num_hashes=didx.num_hashes,
@@ -252,11 +258,15 @@ class Matcher:
         d: int,
         k_pack: int,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Mesh fast path: sharded scoring + the distributed top-k collective
-        (local top-k per doc shard -> all-gather over 'd' -> re-top-k), so
-        only the [Q, kk] hit window leaves the device even when the score
-        matrix is sharded across chips."""
-        from phylign_tpu.parallel.dist import dist_match_scores, dist_topk
+        """Mesh fast path: sharded scoring + threshold + distributed top-k
+        (local top-k per doc shard -> all-gather over 'd' -> re-top-k) as
+        ONE jitted global program, so only the [Q, kk] hit window leaves the
+        device even when the score matrix is sharded across chips — and the
+        whole thing runs on meshes spanning processes (jax.distributed)."""
+        from jax.sharding import PartitionSpec as P
+
+        from phylign_tpu.parallel.dist import dist_threshold_topk, fetch, global_array
+        from phylign_tpu.parallel.mesh import AXIS_QUERY
 
         nq = self.mesh.shape["q"]
         rows = list(per_query)
@@ -265,20 +275,21 @@ class Matcher:
         packed, _ = pack_row_indices(
             rows, max(k_pack, 1), self.pad_row, self.num_hashes
         )
-        scores = dist_match_scores(self.mesh, self.words, jnp.asarray(packed))
         cut = np.concatenate(
             [_int_cut(threshold, n_kmers), np.full(pad_q, 1 << 30, np.int32)]
         )
-        cols = jnp.arange(scores.shape[1], dtype=jnp.int32)
-        masked = jnp.where(
-            (scores >= jnp.asarray(cut)[:, None]) & (cols[None, :] < d),
-            scores,
-            -1,
+        n_words = self.words.shape[1]
+        kk_eff = min(kk, 32 * n_words)
+        vals, ids, n_keep = fetch(
+            dist_threshold_topk(
+                self.mesh,
+                self.words,
+                global_array(self.mesh, packed, P(AXIS_QUERY, None, None)),
+                global_array(self.mesh, cut, P(AXIS_QUERY)),
+                d,
+                kk_eff,
+            )
         )
-        kk_eff = min(kk, scores.shape[1])
-        vals, ids = dist_topk(self.mesh, masked, 0, k_total=kk_eff)
-        n_keep = (masked >= 0).sum(axis=1, dtype=jnp.int32)
-        vals, ids, n_keep = jax.device_get((vals, ids, n_keep))
         q = len(n_kmers)
         return vals[:q, :kk], ids[:q, :kk], n_keep[:q]
 

@@ -259,8 +259,57 @@ def _reconstruct(p_plane, o, e):
     return cm_excl - o - d_idx[None, :] * e
 
 
-def traceback_one(
-    p_plane: np.ndarray,  # f32 [L, BAND] (rows beyond qlen ignored)
+def _reconstruct_batch(pp, o, e):
+    """D planes of one gap family, vectorized over pairs AND rows:
+    pp [G, L, BAND] -> [G, L, BAND]."""
+    band = pp.shape[2]
+    d_idx = np.arange(band, dtype=np.float32)
+    keyed = pp + d_idx * e
+    cm = np.maximum.accumulate(keyed, axis=2)
+    out = np.empty_like(pp)
+    out[:, :, 0] = NEG
+    out[:, :, 1:] = cm[:, :, :-1]
+    out -= o + d_idx * e
+    return out
+
+
+def reconstruct_planes(
+    p_planes: np.ndarray,  # f32 [G, L, BAND]
+    scoring: SrScoring = SrScoring(),
+) -> tuple[np.ndarray, ...]:
+    """Rebuild the H / D1 / D2 / I1 / I2 planes for a whole batch of gapped
+    pairs at once (the round-1 per-pair python row loop was ~10 ms per pair;
+    this is a handful of [G, L, BAND] numpy passes + an L-step loop over
+    [G, BAND] rows shared by every pair). Rows beyond a pair's qlen are
+    garbage — the per-pair walk never reads them."""
+    o1, e1 = float(scoring.gap_open1 + scoring.gap_ext1), float(scoring.gap_ext1)
+    o2, e2 = float(scoring.gap_open2 + scoring.gap_ext2), float(scoring.gap_ext2)
+    g, l, band = p_planes.shape
+    d1 = _reconstruct_batch(p_planes, float(scoring.gap_open1), e1)
+    d2 = _reconstruct_batch(p_planes, float(scoring.gap_open2), e2)
+    h = np.maximum(p_planes, np.maximum(d1, d2))
+    i1 = np.full((g, l, band), NEG, np.float32)
+    i2 = np.full((g, l, band), NEG, np.float32)
+    i1[:, 0, : band - 1] = -o1
+    i2[:, 0, : band - 1] = -o2
+    for i in range(1, l):  # row recurrence, vectorized over all pairs
+        hs = np.concatenate(
+            [h[:, i - 1, 1:], np.full((g, 1), NEG, np.float32)], axis=1
+        )
+        i1s = np.concatenate(
+            [i1[:, i - 1, 1:], np.full((g, 1), NEG, np.float32)], axis=1
+        )
+        i2s = np.concatenate(
+            [i2[:, i - 1, 1:], np.full((g, 1), NEG, np.float32)], axis=1
+        )
+        i1[:, i] = np.maximum(hs - o1, i1s - e1)
+        i2[:, i] = np.maximum(hs - o2, i2s - e2)
+    return h, d1, d2, i1, i2
+
+
+def traceback_walk(
+    planes: tuple[np.ndarray, ...],  # (h, d1, d2, i1, i2) slices [L, BAND]
+    pp: np.ndarray,  # f32 [L, BAND] the P plane of this pair
     q_codes: np.ndarray,  # [L]
     qlen: int,
     rwin: np.ndarray,  # [L + BAND]
@@ -268,7 +317,7 @@ def traceback_one(
     scoring: SrScoring = SrScoring(),
     rvalid: np.ndarray | None = None,  # [L + BAND] in-contig mask
 ) -> tuple[list[tuple[int, str]], int]:
-    """Rebuild H/I/D from the stored P plane and walk the optimal path.
+    """Walk the optimal path over prebuilt planes (reconstruct_planes).
 
     On score ties the diagonal move wins (match preferred over gap, the
     minimap2 convention); this also yields the best locally-trimmable path
@@ -279,22 +328,8 @@ def traceback_one(
     """
     o1, e1 = float(scoring.gap_open1 + scoring.gap_ext1), float(scoring.gap_ext1)
     o2, e2 = float(scoring.gap_open2 + scoring.gap_ext2), float(scoring.gap_ext2)
-    pp = p_plane[:qlen]
-    d1 = _reconstruct(pp, float(scoring.gap_open1), e1)
-    d2 = _reconstruct(pp, float(scoring.gap_open2), e2)
-    h = np.maximum(pp, np.maximum(d1, d2))
-    # forward-recompute I planes from H (row 0 opens from the virtual all-zero
-    # row -1, matching the device recurrence)
+    h, d1, d2, i1, i2 = planes
     band = pp.shape[1]
-    i1 = np.full((qlen, band), NEG, np.float32)
-    i2 = np.full((qlen, band), NEG, np.float32)
-    i1[0, : band - 1] = -o1
-    i2[0, : band - 1] = -o2
-    for i in range(1, qlen):
-        hs = np.concatenate([h[i - 1, 1:], [NEG]])
-        i1[i] = np.maximum(hs - o1, np.concatenate([i1[i - 1, 1:], [NEG]]) - e1)
-        i2[i] = np.maximum(hs - o2, np.concatenate([i2[i - 1, 1:], [NEG]]) - e2)
-
     eps = 1e-3
     ops: list[str] = []
     i, d = qlen - 1, int(end_d)
@@ -370,6 +405,24 @@ def traceback_one(
         else:
             rle.append((1, op))
     return rle, start_d
+
+
+def traceback_one(
+    p_plane: np.ndarray,  # f32 [L, BAND] (rows beyond qlen ignored)
+    q_codes: np.ndarray,
+    qlen: int,
+    rwin: np.ndarray,
+    end_d: int,
+    scoring: SrScoring = SrScoring(),
+    rvalid: np.ndarray | None = None,
+) -> tuple[list[tuple[int, str]], int]:
+    """Single-pair convenience: reconstruct planes + walk. Batch callers use
+    reconstruct_planes once over all gapped pairs, then traceback_walk each."""
+    pp = p_plane[:qlen][None]
+    planes = tuple(x[0] for x in reconstruct_planes(pp, scoring))
+    return traceback_walk(
+        planes, pp[0], q_codes, qlen, rwin, end_d, scoring, rvalid
+    )
 
 
 def align_oracle(q: np.ndarray, r: np.ndarray, scoring: SrScoring = SrScoring()):

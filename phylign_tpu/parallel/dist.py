@@ -47,6 +47,41 @@ from phylign_tpu.parallel.mesh import AXIS_DOC, AXIS_QUERY
 TIE_SLACK = 28
 
 
+def global_array(mesh, arr, spec: P):
+    """A mesh-global device array from a host array every process holds.
+
+    Single-process this is device_put with a NamedSharding; multi-process
+    (jax.distributed over DCN) each process contributes exactly the shards
+    its local devices own — the only portable way to build an array on a
+    mesh that spans processes."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    if len(mesh.devices.flat) == len(jax.local_devices()):
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def fetch(tree):
+    """device_get that also works on non-fully-addressable (multi-process)
+    arrays: each process receives the full value."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if all(getattr(x, "is_fully_addressable", True) for x in leaves):
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True)
+        if not getattr(x, "is_fully_addressable", True)
+        else jax.device_get(x),
+        tree,
+    )
+
+
 def dist_match_scores(mesh, words, row_idx):
     """Sharded scoring: words [S+1, Wp] sharded over 'd' columns, row_idx
     [Q, K, H] sharded over 'q'. Returns scores [Q, 32*Wp] sharded (q, d).
@@ -90,6 +125,38 @@ def dist_topk(mesh, scores, n_best, k_total=None):
         in_specs=(P(AXIS_QUERY, AXIS_DOC),),
         out_specs=(P(AXIS_QUERY, None), P(AXIS_QUERY, None)),
     )(scores)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "d", "kk"))
+def dist_threshold_topk(mesh, words, row_idx, cut, d: int, kk: int):
+    """Fused sharded match->threshold->top-k as ONE jitted global program:
+    scoring is zero-communication over doc shards, the top-k is the one
+    all-gather collective, and the qualifying count reduces over 'd'.
+    Returns (vals [Q, kk], global doc ids [Q, kk], n_keep [Q]), all
+    replicated over 'd'. Works on single-process and multi-process
+    (jax.distributed) meshes — multi-process requires the whole computation
+    inside one jit, which also saves dispatch round trips single-chip."""
+    scores = dist_match_scores(mesh, words, row_idx)
+
+    def mask_step(s_loc, cut_loc):
+        d_idx = jax.lax.axis_index(AXIS_DOC)
+        w_loc = s_loc.shape[1]
+        col0 = d_idx * w_loc
+        loc_cols = col0 + jnp.arange(w_loc, dtype=jnp.int32)
+        ok = (s_loc >= cut_loc[:, None]) & (loc_cols[None, :] < d)
+        masked = jnp.where(ok, s_loc, -1)
+        n_loc = ok.sum(axis=1, dtype=jnp.int32)
+        n_keep = jax.lax.psum(n_loc, AXIS_DOC)
+        return masked, n_keep
+
+    masked, n_keep = shard_map(
+        mask_step,
+        mesh,
+        in_specs=(P(AXIS_QUERY, AXIS_DOC), P(AXIS_QUERY)),
+        out_specs=(P(AXIS_QUERY, AXIS_DOC), P(AXIS_QUERY)),
+    )(scores, cut)
+    vals, ids = dist_topk(mesh, masked, 0, k_total=kk)
+    return vals, ids, n_keep
 
 
 def dist_chain(mesh, rpos, qpos, **kw):
@@ -167,16 +234,19 @@ def full_step(
     This is what dryrun_multichip compiles and executes on an N-device mesh.
     """
     scores = dist_match_scores(mesh, words, row_idx)
-    topv, topi = dist_topk(mesh, scores, n_best)
-    cut = threshold * jnp.maximum(n_kmers, 1).astype(jnp.float32)
-    top_keep = topv.astype(jnp.float32) >= cut[:, None]
+    d = scores.shape[1]
+    cut = jnp.ceil(
+        threshold * jnp.maximum(n_kmers, 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    kk = min(n_best + TIE_SLACK, d)
+    topv, topi, n_keep = dist_threshold_topk(mesh, words, row_idx, cut, d, kk)
     chain_res = dist_chain(mesh, anchors_r, anchors_q)
     ext = dist_extend(mesh, q_codes, q_len, rwin, rvalid)
     return {
         "scores": scores,
         "top_values": topv,
         "top_doc_ids": topi,
-        "top_keep": top_keep,
+        "top_n_keep": n_keep,
         "chain_score": chain_res.score,
         "chain_count": chain_res.count,
         "align_score": ext.score,

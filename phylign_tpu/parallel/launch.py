@@ -55,6 +55,13 @@ def init_distributed(
         return 1, 0
     import jax
 
+    # CPU backends need an explicit cross-process collectives implementation
+    # (TPU slices get collectives from the platform itself); must be set
+    # before the backend initializes
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older jax without the option
+        pass
     addr = f"{coordinator}:{port}" if coordinator and ":" not in str(coordinator) else coordinator
     log.info(
         "jax.distributed.initialize(%s, num_processes=%d, process_id=%d)",

@@ -61,6 +61,53 @@ log = logging.getLogger("phylign_tpu.pipeline")
 _warmed = False
 
 
+class _IndexCache:
+    """Device-resident Matcher cache keyed by index CONTENT hash.
+
+    Repeated runs (or multiple query files) over the same batches skip the
+    index upload — through a slow host-device link that upload dominates the
+    match stage; on real TPU hosts (100s of GB/s H2D) the cache is a cheap
+    no-op. The byte budget is carved out of the pipeline's HBM accountant
+    once at init, so cached indexes can never starve transient uploads."""
+
+    def __init__(self, budget_mb: int):
+        import collections
+        import threading
+
+        self.budget = budget_mb
+        self.used = 0
+        self.items: "collections.OrderedDict[tuple, tuple]" = (
+            collections.OrderedDict()
+        )
+        self.lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self.lock:
+            it = self.items.get(key)
+            if it is None:
+                self.misses += 1
+                return None
+            self.items.move_to_end(key)
+            self.hits += 1
+            return it[0]
+
+    def put(self, key, matcher, mb: int) -> bool:
+        """Insert; True iff the cache now owns the device bytes."""
+        if mb > self.budget:
+            return False
+        with self.lock:
+            if key in self.items:
+                return False  # already owned; caller keeps its reservation
+            while self.used + mb > self.budget and self.items:
+                _, (_old, omb) = self.items.popitem(last=False)
+                self.used -= omb  # device buffers free when the ref drops
+            self.items[key] = (matcher, mb)
+            self.used += mb
+            return True
+
+
 def _warm_device_async() -> None:
     """Touch the device from a background thread at pipeline start: the first
     real device interaction pays a large, variable backend-claim latency
@@ -107,6 +154,13 @@ class Pipeline:
             (self.inter / d).mkdir(parents=True, exist_ok=True)
         self.out.mkdir(parents=True, exist_ok=True)
         self._mesh = None  # built lazily from cfg.mesh_shape
+        cache_mb = int(config.device_index_cache_gb * 1024)
+        # never let the cache take more than half the HBM budget
+        cache_mb = min(cache_mb, int(config.device_hbm_gb * 1024) // 2)
+        self._index_cache = None
+        if cache_mb > 0:
+            self.sched.hbm.acquire(cache_mb)  # carve the budget out once
+            self._index_cache = _IndexCache(cache_mb)
 
     def mesh(self):
         """The device mesh for sharded matching, or None for single-chip
@@ -267,9 +321,19 @@ class Pipeline:
 
         mesh = self.mesh()
         hbm_mb = max(1, device_index_bytes(didx, mesh=mesh) // 1_000_000)
-        self.sched.hbm.acquire(hbm_mb)
+        key = matcher = None
+        if self._index_cache is not None and hbm_mb <= self._index_cache.budget:
+            key = (
+                self._index_hash(didx),
+                None if mesh is None else tuple(mesh.shape.items()),
+            )
+            matcher = self._index_cache.get(key)
+        transient = matcher is None
+        if transient:
+            self.sched.hbm.acquire(hbm_mb)
         try:
-            matcher = Matcher.from_device_index(didx, mesh=mesh)
+            if matcher is None:
+                matcher = Matcher.from_device_index(didx, mesh=mesh)
             chunk = self.cfg.device_query_chunk
             names = np.asarray(didx.doc_names)
             with self.sched.device_lock:
@@ -290,8 +354,25 @@ class Pipeline:
                             QueryMatches(rec.name, int(n_keep[i]), hits)
                         )
         finally:
-            self.sched.hbm.release(hbm_mb)
+            if transient:
+                if key is not None and self._index_cache.put(key, matcher, hbm_mb):
+                    pass  # ownership moved to the cache's carved-out budget
+                self.sched.hbm.release(hbm_mb)
         return matches
+
+    @staticmethod
+    def _index_hash(didx: cobs_io.DeviceIndex) -> str:
+        """Content hash of a device index (blake2b over the packed word
+        matrix + geometry) — the index-cache key."""
+        import hashlib
+
+        hb = hashlib.blake2b(digest_size=16)
+        hb.update(
+            f"{didx.signature_size}:{didx.num_docs}:"
+            f"{didx.term_size}:{didx.num_hashes}".encode()
+        )
+        hb.update(memoryview(np.ascontiguousarray(didx.words)))
+        return hb.hexdigest()
 
     def match(self, stem: str, batches: list[str] | None = None) -> list[Path]:
         batches = batches if batches is not None else self.batches()

@@ -301,3 +301,42 @@ class TestNativeParseBounds:
             pytest.skip("native lib unavailable")
         pm = native.native_parse_match_text(b"*q\t1\n_A\t2147483647\n")
         assert pm.score[0] == 2147483647
+
+
+class TestDeviceIndexCache:
+    """VERDICT round-1 item 10: content-hash device index cache — a second
+    match pass over the same batch must skip the Matcher rebuild/upload."""
+
+    def test_second_match_run_hits_cache(self, tmp_path):
+        from phylign_tpu import testing as fixture_mod
+        from phylign_tpu.config import Config
+        from phylign_tpu.pipeline.stages import Pipeline
+
+        wd = tmp_path / "wd"
+        fixture_mod.make_fixture(wd, n_batches=1, seed=11)
+        cfg = Config.from_yaml(wd / "config.yaml")
+        pl = Pipeline(cfg, wd)
+        inputs = sorted(str(p) for p in (wd / "input").iterdir())
+        stem = pl.preprocess(inputs)
+        pl.match(stem)
+        assert pl._index_cache is not None
+        misses0 = pl._index_cache.misses
+        assert misses0 >= 1
+        # force recompute: clear manifest + outputs, re-match
+        pl.manifest.clear("match")
+        for b in pl.batches():
+            mf = pl.inter / "03_match" / f"{b}____{stem}.gz"
+            if mf.exists():
+                mf.unlink()
+        pl.match(stem)
+        assert pl._index_cache.hits >= 1
+        assert pl._index_cache.misses == misses0  # no new uploads
+
+    def test_cache_disabled_by_config(self, tmp_path):
+        from phylign_tpu.config import Config
+        from phylign_tpu.pipeline.stages import Pipeline
+
+        cfg = Config(device_index_cache_gb=0.0)
+        pl = Pipeline(cfg, tmp_path / "wd2")
+        assert pl._index_cache is None
+        assert pl.sched.hbm.free == pl.sched.hbm.total
