@@ -145,7 +145,7 @@ def _mesh_q(mesh) -> int:
 # padded-anchor-slot buckets: anchor sets are grouped by size so a pool of
 # short-read pairs (<= 64 anchors) never pays long-read padding, while a
 # 10 kb map-ont read (~2k minimizer anchors) chains without truncation
-ANCHOR_BUCKETS = (64, 256, 1024, opc.MAX_ANCHORS)
+ANCHOR_BUCKETS = (32, 64, 256, 1024, opc.MAX_ANCHORS)
 
 
 @dataclass
@@ -336,6 +336,8 @@ def _local_trim(
             best, best_s, best_e = run, run_s, i + 1
     if best_e <= best_s or best <= 0.0:
         return None
+    if best_s == 0 and best_e == len(cig):
+        return cig, 0, best  # nothing trimmed (the overwhelming sr case)
     lead, mid, tail = cig[:best_s], cig[best_s:best_e], cig[best_e:]
     lead_q = sum(n for n, o in lead if o in "=XI")
     lead_r = sum(n for n, o in lead if o in "=XD")
@@ -419,23 +421,53 @@ def _cigar_from_mismatches(cols: list[int], qlen: int) -> list[tuple[int, str]]:
     return runs
 
 
-def _extend_chunk(
+@dataclasses.dataclass
+class _ExtCtx:
+    """In-flight extension chunk: host windows + dispatched device handles.
+
+    Produced by _extend_dispatch, consumed by _extend_finish. Splitting the
+    two lets flush_pairs dispatch chunk i+1's device pass before fetching
+    chunk i's results, so device compute overlaps the host half (fetch,
+    gapless check, traceback, record assembly) instead of serializing."""
+
+    tasks: list
+    items: list
+    lmax: int
+    params: AlignParams
+    mesh: object
+    n: int
+    wlen: int
+    q_codes: np.ndarray
+    q_len: np.ndarray
+    rwin: np.ndarray
+    rvalid: np.ndarray
+    lo_p: np.ndarray
+    hi_p: np.ndarray
+    w0_arr: np.ndarray
+    c_start_arr: np.ndarray
+    contig_ids: np.ndarray
+    sc_dev: object
+    end_dev: object
+
+
+def _extend_dispatch(
     tasks: list[PairTask],
     items: list[tuple[tuple[int, int], tuple]],
     lmax: int,
     params: AlignParams,
     mesh=None,
-) -> dict[tuple[int, int], SamRecord]:
-    """Banded extension + traceback for one length-bucketed chunk of chained
-    pairs. items: [((task idx, segment idx — 0 primary, >0 supplementary),
+) -> _ExtCtx:
+    """Banded extension for one length-bucketed chunk of chained pairs:
+    build the host windows and DISPATCH the score-only device pass (async).
+    items: [((task idx, segment idx — 0 primary, >0 supplementary),
     (score, strand, qs, qe, rs, re, s2))].
 
-    Two device passes: a score-only pass for everything, then a traceback-
-    plane pass ONLY for pairs whose optimal score cannot be realized gaplessly
-    on the end diagonal. Short-read alignments are overwhelmingly gapless, so
-    the expensive [P, L, BAND] plane transfer runs for a small remainder.
+    The full chunk runs two device passes: this score-only pass for
+    everything, then (in _extend_finish) a traceback-plane pass ONLY for
+    pairs whose optimal score cannot be realized gaplessly on the end
+    diagonal. Short-read alignments are overwhelmingly gapless, so the
+    expensive [P, L, BAND] plane transfer runs for a small remainder.
     """
-    records: dict[tuple[int, int], SamRecord] = {}
     p = _bucket_pairs(len(items), _mesh_q(mesh))
     n = len(items)
     wlen = lmax + params.band
@@ -476,12 +508,10 @@ def _extend_chunk(
         c_end_arr[ii] = c_start_arr[ii] + ref.contig_lens[cs]
         idx2 = w0_arr[ii, None] + span  # [m, wlen]
         ok = (idx2 >= c_start_arr[ii, None]) & (idx2 < c_end_arr[ii, None])
-        vals = ref.codes[np.clip(idx2, 0, len(ref.codes) - 1)]
+        vals = ref.codes[np.clip(idx2, 0, len(ref.codes) - 1, out=idx2)]
         vals[~ok] = 0
         rwin[ii] = vals
         rvalid[ii] = ok
-    w0s = w0_arr
-
     import jax
 
     # 2-bit-packed codes + [lo, hi) bounds instead of a bool mask, uploaded
@@ -506,9 +536,30 @@ def _extend_chunk(
         sc_dev, end_dev = ope.extend_banded_scores_packed(
             qp_j, lj, rp_j, lo_j, hi_j, lmax, wlen, scoring=params.scoring
         )
+    return _ExtCtx(
+        tasks=tasks, items=items, lmax=lmax, params=params, mesh=mesh,
+        n=n, wlen=wlen, q_codes=q_codes, q_len=q_len, rwin=rwin,
+        rvalid=rvalid, lo_p=lo_p, hi_p=hi_p, w0_arr=w0_arr,
+        c_start_arr=c_start_arr, contig_ids=contig_ids,
+        sc_dev=sc_dev, end_dev=end_dev,
+    )
+
+
+def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
+    """Fetch + post-process a dispatched extension chunk: gapless check,
+    traceback-plane pass for the gapped remainder, SAM record assembly."""
+    import jax
+
+    tasks, items, params, mesh = ctx.tasks, ctx.items, ctx.params, ctx.mesh
+    lmax, n, wlen = ctx.lmax, ctx.n, ctx.wlen
+    q_codes, q_len = ctx.q_codes, ctx.q_len
+    rwin, rvalid = ctx.rwin, ctx.rvalid
+    lo_p, hi_p = ctx.lo_p, ctx.hi_p
+    w0_arr, c_start_arr, contig_ids = ctx.w0_arr, ctx.c_start_arr, ctx.contig_ids
+    records: dict[tuple[int, int], SamRecord] = {}
     # one batched D2H round trip (each separate np.asarray costs a full
     # ~25 ms relay RTT; jax.device_get fetches the whole tuple in one)
-    scores, end_ds = jax.device_get((sc_dev, end_dev))
+    scores, end_ds = jax.device_get((ctx.sc_dev, ctx.end_dev))
 
     match_s = params.scoring.match
     mis_s = params.scoring.mismatch
@@ -591,33 +642,79 @@ def _extend_chunk(
 
     w0_l = w0_arr.tolist()
     c_start_l = c_start_arr.tolist()
+    # vectorized local trim for the gapless records: per-base Kadane over
+    # match/mismatch base scores via prefix sums (an optimal interval never
+    # cuts inside a run, so base-granularity == run-granularity), leaving the
+    # python _local_trim for gapped or actually-trimmed records only (rare)
+    match_s_f, mis_s_f = np.float32(match_s), np.float32(mis_s)
+    qlen_f = q_len[:n].astype(np.float32)
+    best = match_s_f * (qlen_f - neq_all) - mis_s_f * neq_all
+    full = diag_ok & (best >= params.scoring.min_dp_score)
+    # perfect rows (no mismatch) are always full-span; only imperfect rows
+    # need the Kadane check that trimming wouldn't win
+    kad = np.flatnonzero(full & (neq_all > 0))
+    if kad.size:
+        v = np.where(neq_mask[kad], -mis_s_f, match_s_f)
+        v[~in_q[kad]] = np.float32(-1e9)  # never cross the query end
+        m = kad.size
+        pref = np.zeros((m, lmax + 1), np.float32)
+        np.cumsum(v, axis=1, out=pref[:, 1:])
+        pmin = np.minimum.accumulate(pref, axis=1)
+        cand = pref[:, 1:] - pmin[:, :-1]  # best interval ending at each base
+        rowsk = np.arange(m)
+        e_best = np.argmax(cand, axis=1)  # first maximal end (inclusive)
+        kbest = cand[rowsk, e_best]
+        # start==0 iff the prefix min before e_best is uniquely at index 0
+        # (pref[0] == 0; any interior <= 0 prefix means Kadane restarts)
+        pe = np.minimum.accumulate(pref[:, 1:], axis=1)  # min(pref[1..j+1])
+        interior = pe[rowsk, np.maximum(e_best - 1, 0)]
+        cond_s = (e_best == 0) | (interior > 0)
+        ok_k = (
+            cond_s
+            & (e_best == q_len[kad] - 1)
+            & (kbest >= best[kad] - 1e-3)  # full span IS the optimum
+        )
+        full[kad] &= ok_k
+    full_l = full.tolist()
+    best_l = best.tolist()
+    neq_l = neq_all.tolist()
     for i, ((ti, seg), (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
         if i not in cigars:
             continue
         t = tasks[ti]
         sk, ref = t.sketch, t.ref
         cig, start_d = cigars[i]
-        trimmed = _local_trim(cig, params.scoring)
-        if trimmed is None:
-            continue
-        cig, lead_r, dp_score = trimmed
-        if dp_score < params.scoring.min_dp_score:
-            continue
-        cig = _soft_clip_ends(cig)
+        if full_l[i]:
+            # gapless, untrimmed fast path (the overwhelming sr case): no
+            # soft clips, score and op counts come from the mismatch count
+            lead_r = 0
+            dp_score = best_l[i]
+            n_x = neq_l[i]
+            n_eq = q_len_l[i] - n_x
+            n_i = n_d = 0
+            parts = [f"{nn}{op}" for nn, op in cig]
+        else:
+            trimmed = _local_trim(cig, params.scoring)
+            if trimmed is None:
+                continue
+            cig, lead_r, dp_score = trimmed
+            if dp_score < params.scoring.min_dp_score:
+                continue
+            cig = _soft_clip_ends(cig)
+            # one pass over the few runs: op counts + string
+            n_eq = n_x = n_i = n_d = 0
+            parts = []
+            for nn, op in cig:
+                parts.append(f"{nn}{op}")
+                if op == "=":
+                    n_eq += nn
+                elif op == "X":
+                    n_x += nn
+                elif op == "I":
+                    n_i += nn
+                elif op == "D":
+                    n_d += nn
         pos = w0_l[i] + start_d + lead_r - c_start_l[i] + 1
-        # one pass over the few runs: op counts + string
-        n_eq = n_x = n_i = n_d = 0
-        parts = []
-        for nn, op in cig:
-            parts.append(f"{nn}{op}")
-            if op == "=":
-                n_eq += nn
-            elif op == "X":
-                n_x += nn
-            elif op == "I":
-                n_i += nn
-            elif op == "D":
-                n_d += nn
         nm = n_x + n_i + n_d
         de = round(nm / max(1, n_eq + nm), 4)
         mapq = _mapq(csc, s2)
@@ -670,32 +767,38 @@ def flush_pairs(
     if anchor_sets:
         ch = _chain_pairs(anchor_sets, params, mesh)
         n_sup = ch.sup_score.shape[1]
-        # bulk tolist: python lists index ~100x faster than per-element numpy
-        # scalar conversion over the 3x meta sweep below
-        sc_l, cnt_l = ch.score.tolist(), ch.count.tolist()
-        qs_l, qe_l = ch.qs.tolist(), ch.qe.tolist()
-        rs_l, re_l = ch.rs.tolist(), ch.re.tolist()
-        alt_l = ch.alt.tolist()
-        ssc_l, scnt_l = ch.sup_score.tolist(), ch.sup_count.tolist()
-        sqs_l, sqe_l = ch.sup_qs.tolist(), ch.sup_qe.tolist()
-        srs_l, sre_l = ch.sup_rs.tolist(), ch.sup_re.tolist()
         min_cnt, min_sc = params.min_chain_cnt, params.min_chain_score
-        for i, (ti, strand) in enumerate(meta):
-            if cnt_l[i] >= min_cnt and sc_l[i] >= min_sc:
-                cands.setdefault(ti, []).append(
-                    (
-                        sc_l[i], strand, qs_l[i], qe_l[i], rs_l[i], re_l[i],
-                        cnt_l[i], max(0.0, alt_l[i]),
-                    )
+        ti_a = np.fromiter((m[0] for m in meta), np.int64, count=len(meta))
+        st_a = np.fromiter((m[1] for m in meta), np.int64, count=len(meta))
+        # vectorized threshold filter + C-level tuple building (zip) instead
+        # of a python loop over every (set, sup) slot — the loop was a top
+        # host cost at full pool size
+        keep = np.flatnonzero((ch.count >= min_cnt) & (ch.score >= min_sc))
+        rows = zip(
+            ti_a[keep].tolist(),
+            zip(
+                ch.score[keep].tolist(),
+                st_a[keep].tolist(),
+                ch.qs[keep].tolist(),
+                ch.qe[keep].tolist(),
+                ch.rs[keep].tolist(),
+                ch.re[keep].tolist(),
+                ch.count[keep].tolist(),
+                np.maximum(ch.alt[keep], 0.0).tolist(),
+            ),
+        )
+        for ti, row in rows:
+            cands.setdefault(ti, []).append(row)
+        skeep = (ch.sup_count >= min_cnt) & (ch.sup_score >= min_sc)
+        for i, s in zip(*(x.tolist() for x in np.nonzero(skeep))):
+            cands.setdefault(int(ti_a[i]), []).append(
+                (
+                    float(ch.sup_score[i, s]), int(st_a[i]),
+                    int(ch.sup_qs[i, s]), int(ch.sup_qe[i, s]),
+                    int(ch.sup_rs[i, s]), int(ch.sup_re[i, s]),
+                    int(ch.sup_count[i, s]), 0.0,
                 )
-            for s in range(n_sup):
-                if scnt_l[i][s] >= min_cnt and ssc_l[i][s] >= min_sc:
-                    cands.setdefault(ti, []).append(
-                        (
-                            ssc_l[i][s], strand, sqs_l[i][s], sqe_l[i][s],
-                            srs_l[i][s], sre_l[i][s], scnt_l[i][s], 0.0,
-                        )
-                    )
+            )
 
     def _qov(a, b) -> float:
         """Query-interval overlap as a fraction of the shorter interval."""
@@ -709,6 +812,12 @@ def flush_pairs(
     # record rather than being dropped); seg index 0 = primary
     chained: list[tuple[tuple[int, int], tuple]] = []
     for ti, cl in sorted(cands.items()):
+        if len(cl) == 1:
+            # one candidate (the common sr case): it is the primary, its
+            # only competitor score is the device's same-strand alt
+            prim = cl[0]
+            chained.append(((ti, 0), prim[:6] + (prim[7],)))
+            continue
         cl.sort(key=lambda c: (-c[0], c[1], c[2]))
         prim = cl[0]
         rest = cl[1:]
@@ -737,12 +846,21 @@ def flush_pairs(
         ti = item[0][0]
         lb = _round_up(max(32, len(tasks[ti].sketch.codes)), 256)
         by_bucket.setdefault(lb, []).append(item)
+    chunks = []
     for lb, items in sorted(by_bucket.items()):
         max_p = max(8, (MAX_EXT_CELLS * 128) // (lb * params.band))
         for off in range(0, len(items), max_p):
-            records.update(
-                _extend_chunk(tasks, items[off : off + max_p], lb, params, mesh)
-            )
+            chunks.append((items[off : off + max_p], lb))
+    # bounded dispatch-ahead pipeline: chunk i+1's device pass (and its host
+    # window prep) runs while chunk i's results are fetched + post-processed
+    DEPTH = 2
+    inflight: list[_ExtCtx] = []
+    for ck, lb in chunks:
+        inflight.append(_extend_dispatch(tasks, ck, lb, params, mesh))
+        if len(inflight) >= DEPTH:
+            records.update(_extend_finish(inflight.pop(0)))
+    for ctx in inflight:
+        records.update(_extend_finish(ctx))
 
     out = []
     for ti, t in enumerate(tasks):
