@@ -100,27 +100,34 @@ def match_scores_xla(words: jax.Array, row_idx: jax.Array) -> jax.Array:
     words: uint32 [S+1, Wp]; row_idx: int32 [Q, K] or [Q, K, H].
     Returns int32 [Q, 32*Wp] (doc d at index (d//32)*32 + d%32 == d).
 
-    Written as one unchunked expression on purpose: XLA fuses the shift/mask
+    Written as unchunked expressions on purpose: XLA fuses the shift/mask
     unpack and the K-reduction into the gather consumer, so the [Q,K,Wp,32]
     intermediate never materializes. (A lax.scan over K-chunks measured ~50%
-    slower — the scan boundary blocks that fusion.) Callers bound Q via
+    slower — the scan boundary blocks that fusion.) The gather is SPLIT into
+    4 interleaved K-slices: the kernel is gather-ISSUE-bound (~45M rows/s on
+    a v5e regardless of row width or locality — see docs/performance.md),
+    and 4 independent gather streams overlap their issue latency (measured
+    239k -> 342k q/s at S=2M, Wp=68, Q=2048, K=128). Callers bound Q via
     config.device_query_chunk.
     """
     if row_idx.ndim == 2:
         row_idx = row_idx[..., None]
     q, k, h = row_idx.shape
     wp = words.shape[1]
-    g = words[row_idx]  # [Q, K, H, Wp] uint32
-    if h > 1:
-        a = g[:, :, 0, :]
-        for j in range(1, h):
-            a = a & g[:, :, j, :]
-        g = a
-    else:
-        g = g[:, :, 0, :]
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (g[..., None] >> shifts) & jnp.uint32(1)  # [Q, K, Wp, 32]
-    acc = bits.astype(jnp.int32).sum(axis=1)  # [Q, Wp, 32]
+    n_split = 4 if k >= 8 else 1
+    acc = jnp.zeros((q, wp, 32), jnp.int32)
+    for i in range(n_split):
+        g = words[row_idx[:, i::n_split]]  # [Q, K/n, H, Wp] uint32
+        if h > 1:
+            a = g[:, :, 0, :]
+            for j in range(1, h):
+                a = a & g[:, :, j, :]
+            g = a
+        else:
+            g = g[:, :, 0, :]
+        bits = (g[..., None] >> shifts) & jnp.uint32(1)  # [Q, K/n, Wp, 32]
+        acc = acc + bits.astype(jnp.int32).sum(axis=1)  # [Q, Wp, 32]
     # doc d lives at (w=d//32)*32 + (b=d%32)
     return acc.reshape(q, wp * 32)
 
