@@ -522,17 +522,17 @@ def _extend_dispatch(
     lo_p = np.zeros(p, np.int32)
     hi_p = np.zeros(p, np.int32)
     lo_p[:n], hi_p[:n] = lo_b, hi_b
+    qp_j, lj, rp_j, lo_j, hi_j = jax.device_put(
+        (ope.pack2bit(q_codes), q_len, ope.pack2bit(rwin), lo_p, hi_p)
+    )
     if mesh is not None:
         from phylign_tpu.parallel import dist
 
-        qj, lj, rj, vj = jax.device_put((q_codes, q_len, rwin, rvalid))
-        sc_dev, end_dev = dist.dist_extend_scores(
-            mesh, qj, lj, rj, vj, scoring=params.scoring
+        sc_dev, end_dev = dist.dist_extend_scores_packed(
+            mesh, qp_j, lj, rp_j, lo_j, hi_j, lmax, wlen,
+            scoring=params.scoring,
         )
     else:
-        qp_j, lj, rp_j, lo_j, hi_j = jax.device_put(
-            (ope.pack2bit(q_codes), q_len, ope.pack2bit(rwin), lo_p, hi_p)
-        )
         sc_dev, end_dev = ope.extend_banded_scores_packed(
             qp_j, lj, rp_j, lo_j, hi_j, lmax, wlen, scoring=params.scoring
         )
@@ -606,23 +606,23 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
             out[: len(gi)] = a[gi]
             return out
 
+        gq, gl, gr, glo, ghi = jax.device_put(
+            (
+                ope.pack2bit(pad(q_codes)),
+                pad(q_len),
+                ope.pack2bit(pad(rwin)),
+                pad(lo_p),
+                pad(hi_p),
+            )
+        )
         if mesh is not None:
             from phylign_tpu.parallel import dist
 
-            plane_args = jax.device_put(
-                (pad(q_codes), pad(q_len), pad(rwin), pad(rvalid))
+            ext = dist.dist_extend_packed(
+                mesh, gq, gl, gr, glo, ghi, lmax, wlen,
+                scoring=params.scoring,
             )
-            ext = dist.dist_extend(mesh, *plane_args, scoring=params.scoring)
         else:
-            gq, gl, gr, glo, ghi = jax.device_put(
-                (
-                    ope.pack2bit(pad(q_codes)),
-                    pad(q_len),
-                    ope.pack2bit(pad(rwin)),
-                    pad(lo_p),
-                    pad(hi_p),
-                )
-            )
             ext = ope.extend_banded_packed(
                 gq, gl, gr, glo, ghi, lmax, wlen, scoring=params.scoring
             )

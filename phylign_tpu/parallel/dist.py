@@ -40,7 +40,13 @@ def shard_map(f, mesh, in_specs, out_specs):
         )
 
 from phylign_tpu.ops.chain import chain_anchors
-from phylign_tpu.ops.extend import SrScoring, extend_banded, extend_banded_scores
+from phylign_tpu.ops.extend import (
+    SrScoring,
+    extend_banded,
+    extend_banded_packed,
+    extend_banded_scores,
+    extend_banded_scores_packed,
+)
 from phylign_tpu.ops.match import match_scores_xla
 from phylign_tpu.parallel.mesh import AXIS_DOC, AXIS_QUERY
 
@@ -210,6 +216,54 @@ def dist_extend_scores(mesh, q_codes, q_len, rwin, rvalid, scoring=SrScoring()):
         ),
         out_specs=(P(AXIS_QUERY), P(AXIS_QUERY)),
     )(q_codes, q_len, rwin, rvalid)
+
+
+_EXT_PACKED_SPECS = (
+    P(AXIS_QUERY, None),  # q_pack
+    P(AXIS_QUERY),  # q_len
+    P(AXIS_QUERY, None),  # r_pack
+    P(AXIS_QUERY),  # lo
+    P(AXIS_QUERY),  # hi
+)
+
+
+def dist_extend_scores_packed(
+    mesh, q_pack, q_len, r_pack, lo, hi, l: int, wlen: int, scoring=SrScoring()
+):
+    """Transfer-compact mesh twin of extend_banded_scores_packed: 2-bit
+    packed codes + [lo, hi) window bounds, dp-sharded over 'q'. Same 4-5x
+    H2D byte cut as the single-chip packed path (the mesh path previously
+    uploaded raw uint8 windows + bool masks — 5x the bytes)."""
+
+    def step(qp, ql, rp, lo_, hi_):
+        return extend_banded_scores_packed(
+            qp, ql, rp, lo_, hi_, l, wlen, scoring=scoring
+        )
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=_EXT_PACKED_SPECS,
+        out_specs=(P(AXIS_QUERY), P(AXIS_QUERY)),
+    )(q_pack, q_len, r_pack, lo, hi)
+
+
+def dist_extend_packed(
+    mesh, q_pack, q_len, r_pack, lo, hi, l: int, wlen: int, scoring=SrScoring()
+):
+    """Traceback-plane mesh twin of extend_banded_packed (dp over 'q')."""
+
+    def step(qp, ql, rp, lo_, hi_):
+        return extend_banded_packed(
+            qp, ql, rp, lo_, hi_, l, wlen, scoring=scoring
+        )
+
+    return shard_map(
+        step,
+        mesh,
+        in_specs=_EXT_PACKED_SPECS,
+        out_specs=P(AXIS_QUERY),
+    )(q_pack, q_len, r_pack, lo, hi)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "threshold", "n_best"))

@@ -70,6 +70,69 @@ class TestDistMatch:
         assert out["align_score"].shape == (16,)
         assert int(out["chain_count"][0]) == 8  # colinear anchors all chain
 
+    def test_extend_packed_matches_unpacked(self, mesh8):
+        """The transfer-compact mesh extension (2-bit packed codes + [lo,hi)
+        bounds) must score identically to the raw uint8 + bool-mask path."""
+        from phylign_tpu.ops.extend import BAND, pack2bit
+
+        rng = np.random.default_rng(5)
+        P, L = 16, 64
+        wlen = L + BAND
+        q_codes = rng.integers(0, 4, (P, L)).astype(np.uint8)
+        q_len = np.full(P, L, np.int32)
+        rwin = rng.integers(0, 4, (P, wlen)).astype(np.uint8)
+        # embed the queries so scores are non-trivial
+        for i in range(P):
+            rwin[i, 10 : 10 + L] = q_codes[i]
+        lo = np.zeros(P, np.int32)
+        hi = np.full(P, wlen, np.int32)
+        lo[3], hi[7] = 12, wlen - 9  # a couple of clipped windows
+        rvalid = (np.arange(wlen)[None, :] >= lo[:, None]) & (
+            np.arange(wlen)[None, :] < hi[:, None]
+        )
+        sc_ref, end_ref = dist.dist_extend_scores(
+            mesh8,
+            jnp.asarray(q_codes),
+            jnp.asarray(q_len),
+            jnp.asarray(rwin),
+            jnp.asarray(rvalid),
+        )
+        sc_p, end_p = dist.dist_extend_scores_packed(
+            mesh8,
+            jnp.asarray(pack2bit(q_codes)),
+            jnp.asarray(q_len),
+            jnp.asarray(pack2bit(rwin)),
+            jnp.asarray(lo),
+            jnp.asarray(hi),
+            L,
+            wlen,
+        )
+        np.testing.assert_array_equal(np.asarray(sc_ref), np.asarray(sc_p))
+        np.testing.assert_array_equal(np.asarray(end_ref), np.asarray(end_p))
+        ext_ref = dist.dist_extend(
+            mesh8,
+            jnp.asarray(q_codes),
+            jnp.asarray(q_len),
+            jnp.asarray(rwin),
+            jnp.asarray(rvalid),
+        )
+        ext_p = dist.dist_extend_packed(
+            mesh8,
+            jnp.asarray(pack2bit(q_codes)),
+            jnp.asarray(q_len),
+            jnp.asarray(pack2bit(rwin)),
+            jnp.asarray(lo),
+            jnp.asarray(hi),
+            L,
+            wlen,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ext_ref.score), np.asarray(ext_p.score)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ext_ref.p_plane), np.asarray(ext_p.p_plane)
+        )
+
 
 class TestMeshPipeline:
     def test_pipeline_with_mesh_matches_single_device(self, tmp_path):
