@@ -178,14 +178,22 @@ def _chain_bucket(
     p = _bucket_pairs(len(idxs), _mesh_q(mesh))
     rpos = np.full((p, a), opc.PAD_POS, np.int32)
     qpos = np.full((p, a), opc.PAD_POS, np.int32)
-    qmax = 0
-    for row, i in enumerate(idxs):
-        an = anchor_sets[i]
-        n = min(len(an.rpos), a)
-        rpos[row, :n] = an.rpos[:n]
-        qpos[row, :n] = an.qpos[:n]
-        if n:
-            qmax = max(qmax, int(an.qpos[:n].max()))
+    # vectorized padded fill: one concatenate + one 2-D scatter instead of a
+    # per-set python assignment loop (tens of thousands of sets per flush)
+    m = len(idxs)
+    r_parts = [anchor_sets[i].rpos[:a] for i in idxs]
+    q_parts = [anchor_sets[i].qpos[:a] for i in idxs]
+    lens = np.fromiter(map(len, r_parts), np.int64, count=m)
+    tot = int(lens.sum())
+    if tot:
+        rows = np.repeat(np.arange(m), lens)
+        cols = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+        qcat = np.concatenate(q_parts)
+        rpos[rows, cols] = np.concatenate(r_parts)
+        qpos[rows, cols] = qcat
+        qmax = int(qcat.max())
+    else:
+        qmax = 0
     n_sup = max(0, params.max_segments - 1)
     kw = dict(
         k=params.k, max_gap=params.max_gap, bandwidth=params.bandwidth,
@@ -250,13 +258,14 @@ def _chain_pairs(
     )
     import jax
 
-    # dispatch every bucket first (async), then fetch each in one round trip
+    # dispatch every bucket first (async), then fetch ALL buckets in ONE
+    # device_get round trip (each separate fetch costs a full relay RTT)
     pending = [
         (idxs, _chain_bucket(anchor_sets, idxs, a_pad, params, mesh))
         for a_pad, idxs in sorted(by_bucket.items())
     ]
-    for idxs, res in pending:
-        got = jax.device_get(res)
+    fetched = jax.device_get([res for _, res in pending])
+    for (idxs, _), got in zip(pending, fetched):
         ii = np.asarray(idxs)
         m = len(ii)
         host.score[ii] = got.score[:m]
@@ -575,28 +584,10 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
     diag_ok = vseg_all.all(axis=1) & (
         match_s * (q_len[:n] - neq_all) - mis_s * neq_all == scores[:n].astype(np.int64)
     )
-    # ALL per-record scalars converted host-side in bulk (a python-int list
-    # indexes ~100x faster than per-element numpy scalar conversion)
-    q_len_l = q_len[:n].tolist()
-    end_l = end_ds[:n].tolist()
-    diag_ok_l = diag_ok.tolist()
-    # mismatch columns per gapless record, from ONE nonzero pass
-    mrow, mcol = np.nonzero(neq_mask & diag_ok[:, None])
-    mrow_l, mcol_l = mrow.tolist(), mcol.tolist()
-    mis_of: dict[int, list[int]] = {}
-    for r_, c_ in zip(mrow_l, mcol_l):
-        mis_of.setdefault(r_, []).append(c_)
-    gapped: list[int] = []  # chunk-local indices needing the plane pass
-    cigars: dict[int, tuple[list[tuple[int, str]], int]] = {}
-    for i in range(n):
-        if diag_ok_l[i]:
-            cigars[i] = (
-                _cigar_from_mismatches(mis_of.get(i, ()), q_len_l[i]),
-                end_l[i],
-            )
-        else:
-            gapped.append(i)
-
+    # dispatch the traceback-plane pass for the gapped remainder FIRST
+    # (async), so its device time overlaps all the gapless host work below
+    gapped = np.flatnonzero(~diag_ok).tolist()
+    ext = None
     if gapped:
         gi = np.asarray(gapped)
         gp = _bucket_pairs(len(gapped), _mesh_q(mesh))
@@ -626,19 +617,24 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
             ext = ope.extend_banded_packed(
                 gq, gl, gr, glo, ghi, lmax, wlen, scoring=params.scoring
             )
-        p_planes = np.asarray(ext.p_plane)
-        # batched plane reconstruction (H/D/I for every gapped pair at once),
-        # then a cheap scalar walk per pair
-        planes_all = ope.reconstruct_planes(
-            p_planes[: len(gi)], params.scoring
-        )
-        for gj, i in enumerate(gapped):
-            cig, start_d = ope.traceback_walk(
-                tuple(x[gj] for x in planes_all),
-                p_planes[gj], q_codes[i], q_len_l[i], rwin[i], end_l[i],
-                params.scoring, rvalid=rvalid[i],
+    # ALL per-record scalars converted host-side in bulk (a python-int list
+    # indexes ~100x faster than per-element numpy scalar conversion)
+    q_len_l = q_len[:n].tolist()
+    end_l = end_ds[:n].tolist()
+    diag_ok_l = diag_ok.tolist()
+    # mismatch columns per gapless record, from ONE nonzero pass
+    mrow, mcol = np.nonzero(neq_mask & diag_ok[:, None])
+    mrow_l, mcol_l = mrow.tolist(), mcol.tolist()
+    mis_of: dict[int, list[int]] = {}
+    for r_, c_ in zip(mrow_l, mcol_l):
+        mis_of.setdefault(r_, []).append(c_)
+    cigars: dict[int, tuple[list[tuple[int, str]], int]] = {}
+    for i in range(n):
+        if diag_ok_l[i]:
+            cigars[i] = (
+                _cigar_from_mismatches(mis_of.get(i, ()), q_len_l[i]),
+                end_l[i],
             )
-            cigars[i] = (cig, start_d)
 
     w0_l = w0_arr.tolist()
     c_start_l = c_start_arr.tolist()
@@ -675,6 +671,23 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
             & (kbest >= best[kad] - 1e-3)  # full span IS the optimum
         )
         full[kad] &= ok_k
+
+    if gapped:
+        # fetch the plane pass LAST — every gapless host pass above ran
+        # while the device computed it
+        p_planes = np.asarray(ext.p_plane)
+        # batched plane reconstruction (H/D/I for every gapped pair at once),
+        # then a cheap scalar walk per pair
+        planes_all = ope.reconstruct_planes(
+            p_planes[: len(gapped)], params.scoring
+        )
+        for gj, i in enumerate(gapped):
+            cig, start_d = ope.traceback_walk(
+                tuple(x[gj] for x in planes_all),
+                p_planes[gj], q_codes[i], q_len_l[i], rwin[i], end_l[i],
+                params.scoring, rvalid=rvalid[i],
+            )
+            cigars[i] = (cig, start_d)
     full_l = full.tolist()
     best_l = best.tolist()
     neq_l = neq_all.tolist()

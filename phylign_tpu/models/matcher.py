@@ -199,6 +199,12 @@ class Matcher:
             )
             for s in seqs
         ]
+        return self.score_rows(per_query, threshold, k_max)
+
+    def score_rows(
+        self, per_query: list[np.ndarray], threshold: float, k_max: int = 512
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """score() on pre-extracted per-query row-index arrays."""
         n_kmers = np.array([r.shape[0] for r in per_query], np.int32)
         seg_rows: list[np.ndarray] = []
         owner: list[int] = []
@@ -209,7 +215,7 @@ class Matcher:
                 seg_rows.append(r[off : off + k_max])
                 owner.append(qi)
         d = len(self.doc_names)
-        scores = np.zeros((len(seqs), d), np.int32)
+        scores = np.zeros((len(per_query), d), np.int32)
         if seg_rows:
             n_real = len(seg_rows)
             if self.mesh is not None:
@@ -306,21 +312,46 @@ class Matcher:
         when its qualifying set might overflow the window (n_keep > kk with
         the rank-topn tie run touching the window end).
 
+        Queries with IDENTICAL k-mer row sets (exact duplicate reads and
+        reverse-complement duplicates — canonical k-mers coincide) are scored
+        ONCE and the result broadcast: real read sets carry 10-30% PCR
+        duplicates, and the match kernel is gather-issue-bound, so deduping
+        rows-per-query is the one lever that beats the measured roofline
+        (docs/performance.md). Exact — every downstream value is identical.
+
         Mesh runs use the distributed top-k collective (local top-k per doc
         shard -> all-gather -> re-top-k); segmented (>k_max-k-mer) queries
         use the full path.
         """
         d = len(self.doc_names)
-        per_query = [
+        all_rows = [
             cobs_row_indices(
                 encode_seq(s), self.term_size, self.signature_size, self.num_hashes
             )
             for s in seqs
         ]
+        rep_of, per_query = _dedup_row_sets(all_rows)
+        if len(per_query) < len(all_rows):
+            hits_u, n_keep_u = self.score_hits_unique(
+                per_query, threshold, topn, k_max
+            )
+            hits = [hits_u[j] for j in rep_of]
+            return hits, np.asarray([n_keep_u[j] for j in rep_of], np.int32)
+        return self.score_hits_unique(per_query, threshold, topn, k_max)
+
+    def score_hits_unique(
+        self,
+        per_query: list[np.ndarray],
+        threshold: float,
+        topn: int,
+        k_max: int = 512,
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """score_hits on pre-extracted per-query row-index arrays."""
+        d = len(self.doc_names)
         n_kmers = np.array([r.shape[0] for r in per_query], np.int32)
         segmented = any(r.shape[0] > k_max for r in per_query)
         if d == 0 or d > 65535 or segmented:
-            scores, keep, _ = self.score(seqs, threshold, k_max)
+            scores, keep, _ = self.score_rows(per_query, threshold, k_max)
             return _hits_from_full(scores, keep), keep.sum(axis=1).astype(np.int32)
 
         kk = min(d, round_up(min(topn + 33, d), 32))
@@ -344,7 +375,7 @@ class Matcher:
         n_keep = np.array(n_keep)  # device_get buffers are read-only
         hits: list[list[tuple[int, int]]] = []
         redo: list[int] = []
-        for q in range(len(seqs)):
+        for q in range(len(per_query)):
             m = int(n_keep[q])
             take = min(m, kk)
             if m > kk:
@@ -357,8 +388,8 @@ class Matcher:
                 [(int(idx[q, j]), int(vals[q, j])) for j in range(take)]
             )
         if redo:
-            scores, keep, _ = self.score(
-                [seqs[q] for q in redo], threshold, k_max
+            scores, keep, _ = self.score_rows(
+                [per_query[q] for q in redo], threshold, k_max
             )
             for row, q in enumerate(redo):
                 docs = np.nonzero(keep[row])[0]
@@ -366,6 +397,35 @@ class Matcher:
                 hits[q].sort(key=lambda t: (-t[1], t[0]))
                 n_keep[q] = len(hits[q])  # keep header count == emitted set
         return hits, n_keep.astype(np.int32)
+
+
+def _dedup_row_sets(
+    rows: list[np.ndarray],
+) -> tuple[list[int], list[np.ndarray]]:
+    """Group queries by identical k-mer row-index arrays.
+
+    Returns (rep_of, unique): rep_of[q] is the index into ``unique`` whose
+    row MULTISET equals rows[q]'s. Scores are a sum over k-mer slots, so any
+    order-permutation of the same rows yields identical scores for every
+    document — which collapses exact duplicate reads AND reverse-complement
+    duplicates (canonical k-mers are strand-invariant; RC merely reverses
+    their position order)."""
+    seen: dict[tuple[int, bytes], int] = {}
+    rep_of: list[int] = []
+    unique: list[np.ndarray] = []
+    for r in rows:
+        if r.ndim == 1:
+            canon = np.sort(r, kind="stable")
+        else:  # [n, H]: lexicographic row sort
+            canon = r[np.lexsort(r.T[::-1])] if r.shape[0] else r
+        key = (r.shape[0], canon.tobytes())
+        j = seen.get(key)
+        if j is None:
+            j = len(unique)
+            seen[key] = j
+            unique.append(r)
+        rep_of.append(j)
+    return rep_of, unique
 
 
 def _hits_from_full(

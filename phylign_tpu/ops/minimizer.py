@@ -251,13 +251,16 @@ def collect_anchors_batch(
     group_s, rp_s, qp_s = group[order], rp[order], qpos_adj[order]
     bounds = np.searchsorted(group_s, np.arange(2 * nq + 1))
     out = []
+    bl = bounds.tolist()
     for q in range(nq):
-        sl_p = slice(bounds[2 * q], bounds[2 * q + 1])
-        sl_m = slice(bounds[2 * q + 1], bounds[2 * q + 2])
+        sl_p = slice(bl[2 * q], bl[2 * q + 1])
+        sl_m = slice(bl[2 * q + 1], bl[2 * q + 2])
+        # views into the shared sorted arrays (NOT copies): the parent is a
+        # few MB and 2*nq small copies cost more than it saves
         out.append(
             (
-                Anchors(rp_s[sl_p].copy(), qp_s[sl_p].copy()),
-                Anchors(rp_s[sl_m].copy(), qp_s[sl_m].copy()),
+                Anchors(rp_s[sl_p], qp_s[sl_p]),
+                Anchors(rp_s[sl_m], qp_s[sl_m]),
             )
         )
     return out

@@ -138,6 +138,35 @@ class TestScoreHits:
         seqs = [read, rng.choice(alpha, 150).tobytes(), b"ACG"]
         self._assert_same(m, seqs, 0.7, topn=5)
 
+    def test_duplicate_reads_dedup_exact(self):
+        """Exact and reverse-complement duplicate reads must return identical
+        hits/n_keep to the undeduped path (they are scored once, broadcast)."""
+        from phylign_tpu.kmer import revcomp
+        from phylign_tpu.models.matcher import _dedup_row_sets
+
+        rng = np.random.default_rng(13)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        read = rng.choice(alpha, 150).tobytes()
+        other = rng.choice(alpha, 150).tobytes()
+        m = self._mk(40, planted=(read, 7))
+        seqs = [read, other, read, revcomp(read), revcomp(other), b"ACG", b"ACG"]
+        # dedup must collapse: read==read==rc(read), other==rc(other), ACG x2
+        from phylign_tpu.kmer import cobs_row_indices, encode_seq
+
+        rows = [
+            cobs_row_indices(
+                encode_seq(s), m.term_size, m.signature_size, m.num_hashes
+            )
+            for s in seqs
+        ]
+        rep_of, uniq = _dedup_row_sets(rows)
+        assert len(uniq) == 3
+        assert rep_of[0] == rep_of[2] == rep_of[3]
+        assert rep_of[1] == rep_of[4]
+        assert rep_of[5] == rep_of[6]
+        # and the deduped fast path must equal the full-matrix path
+        self._assert_same(m, seqs, 0.7, topn=5)
+
     def test_window_overflow_falls_back(self):
         # plant the read in MANY docs so qualifying count exceeds the top-k
         # window for topn=1 (kk = 64) -> per-query full-row fallback
