@@ -136,10 +136,24 @@ class RefIndex:
     k: int
     w: int
 
+    # lazily-built unique-hash table (uniq_table): probing it needs ONE
+    # searchsorted per query set instead of the left+right pair over the
+    # full sorted table — the two passes were the top anchor-collection cost
+    _uniq: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
     def contig_of(self, gpos: int) -> tuple[int, int]:
         """Global position -> (contig_idx, position within contig)."""
         c = int(np.searchsorted(self.contig_starts, gpos, side="right")) - 1
         return c, int(gpos - self.contig_starts[c])
+
+    def uniq_table(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(unique_hashes, start_offset, count) over sort_hash; cached."""
+        if self._uniq is None:
+            uh, us, uc = np.unique(
+                self.sort_hash, return_index=True, return_counts=True
+            )
+            object.__setattr__(self, "_uniq", (uh, us.astype(np.int64), uc))
+        return self._uniq
 
 
 def build_ref_index(
@@ -223,9 +237,11 @@ def collect_anchors_batch(
     qs = np.concatenate(q_strands)
     qlen_arr = np.asarray(q_lens, np.int64)
 
-    lo = np.searchsorted(ref.sort_hash, h, side="left")
-    hi = np.searchsorted(ref.sort_hash, h, side="right")
-    cnt = hi - lo
+    uh, us, ucnt = ref.uniq_table()
+    pos = np.minimum(np.searchsorted(uh, h), len(uh) - 1)
+    found = uh[pos] == h
+    lo = us[pos]
+    cnt = np.where(found, ucnt[pos], 0)
     keep = (cnt > 0) & (cnt <= max_occ)
     ks = np.flatnonzero(keep)
     reps = cnt[ks]
