@@ -30,6 +30,28 @@ from typing import Any, Callable
 log = logging.getLogger("phylign_tpu.sched")
 
 
+def _is_oom(err: BaseException) -> bool:
+    """OOM across allocators: Python/numpy raise MemoryError; XLA raises
+    XlaRuntimeError("RESOURCE_EXHAUSTED: ..."); lzma raises LZMAError on
+    allocation failure with a memory message. The reference's Snakemake
+    restart-with-2x-memory covers *any* failure of an OOM-killed job
+    (ref: /root/reference/Snakefile:507,540,573,592) — matching by message
+    keeps the retry as broad without retrying genuine logic errors."""
+    if isinstance(err, MemoryError):
+        return True
+    msg = str(err).upper()
+    return any(
+        s in msg
+        for s in (
+            "RESOURCE_EXHAUSTED",
+            "OUT OF MEMORY",
+            "CANNOT ALLOCATE MEMORY",
+            "MEMORY USAGE LIMIT",
+            "ALLOCATION FAILURE",
+        )
+    )
+
+
 class RamPool:
     def __init__(self, total_mb: int):
         self.total = total_mb
@@ -123,11 +145,14 @@ class Scheduler:
                     with lock:
                         results[job.name] = out
                     return
-                except MemoryError:
-                    if attempt >= job.retries:
+                except Exception as e:  # noqa: BLE001 - OOM-shaped only, see _is_oom
+                    if not _is_oom(e) or attempt >= job.retries:
                         raise
                     attempt += 1
-                    log.warning("job %s OOM, retrying with %d MB", job.name, mem * 2)
+                    log.warning(
+                        "job %s OOM (%s), retrying with %d MB",
+                        job.name, type(e).__name__, mem * 2,
+                    )
                 finally:
                     if job.io_heavy:
                         self.io_sem.release()

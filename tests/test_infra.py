@@ -39,6 +39,39 @@ class TestScheduler:
         out = s.run([Job(name="x", fn=flaky, mem_mb=64, retries=3)])
         assert out["x"] == "ok" and len(attempts) == 3
 
+    def test_oom_retry_covers_native_allocator_errors(self):
+        """XLA/lzma OOMs surface as non-MemoryError exceptions whose message
+        names the resource; the retry must cover them (the reference restarts
+        OOM-killed jobs regardless of error type, Snakefile:507)."""
+        s = Scheduler(workers=1, max_ram_mb=4096, max_io_heavy=1)
+        attempts = []
+
+        def flaky_xla():
+            attempts.append(1)
+            if len(attempts) < 2:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                    "allocate 1073741824 bytes."
+                )
+            return "ok"
+
+        out = s.run([Job(name="x", fn=flaky_xla, mem_mb=64, retries=2)])
+        assert out["x"] == "ok" and len(attempts) == 2
+
+    def test_non_oom_errors_do_not_retry(self):
+        s = Scheduler(workers=1, max_ram_mb=1024, max_io_heavy=1)
+        attempts = []
+
+        def bad():
+            attempts.append(1)
+            raise ValueError("not an oom")
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            s.run([Job(name="x", fn=bad, retries=3)])
+        assert len(attempts) == 1
+
     def test_error_propagates_after_others_finish(self):
         s = Scheduler(workers=2, max_ram_mb=1024, max_io_heavy=2)
         done = []
