@@ -9,7 +9,8 @@ base is merely *different*), so the genome windows minimap2 aligned against
 can be reconstructed from the golden output alone — no Zenodo download
 needed. Each golden record then becomes a (real read, reconstructed contig)
 pair for our engine, and flag / rname / pos / CIGAR / SEQ must reproduce
-minimap2's record byte-for-byte.
+minimap2's record byte-for-byte — for ALL 5,671 mapped golden records
+(~14 s on the CPU backend; the flush is one batched device pass).
 
 This is the offline approximation of the reference's own acceptance oracle,
 strengthened from cols 1-3 to cols 1-4 + 6 + 10 on real data.
@@ -62,24 +63,10 @@ def _golden_records():
     return recs
 
 
-def _sample(recs):
-    """All mismatch-bearing records + one pure-= record per (read, strand):
-    every CIGAR shape and every real read is covered without aligning all
-    5,673 records in a unit test."""
-    picked, seen = [], set()
-    for r in recs:
-        if "X" in r[4]:
-            picked.append(r)
-        elif (r[0], r[1]) not in seen:
-            seen.add((r[0], r[1]))
-            picked.append(r)
-    return picked
-
-
 @pytest.mark.skipif(not GOLDEN.exists(), reason="reference golden file absent")
 def test_golden_minimap2_record_parity():
-    recs = _sample(_golden_records())
-    assert len(recs) > 150  # ~120 X-records + >=1 per (read, strand)
+    recs = _golden_records()
+    assert len(recs) > 5600  # the full golden set (5,671 mapped records)
     params = ae.AlignParams.from_preset("sr")
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", np.uint8)
