@@ -123,3 +123,42 @@ class TestReferenceScriptParity:
                 check=True,
             )
             assert ref.stdout == text, mf.name
+
+
+GOLDEN_XZ = REF / "data" / f"{STEM}.sam_summary.xz"
+
+
+class TestRealGoldenStatsParity:
+    def test_final_stats_on_real_golden_byte_identical(
+        self, pipeline_run, tmp_path
+    ):
+        """Our stats stage vs the reference's final_stats.py on the REAL
+        golden sam_summary (5,671 real minimap2 records) and the REAL
+        bundled reads — real-data crossval, not synthetic."""
+        from phylign_tpu.io.fastx import normalize_and_merge, write_fasta
+        from phylign_tpu.io.stats import compute_stats
+
+        _wd, env = pipeline_run
+        reads = sorted(
+            str(REF / "data" / f) for f in
+            ("reads_1.fastq", "reads_2.fq", "reads_3.fasta", "reads_4.fa")
+        )
+        stem, records = normalize_and_merge(reads)
+        assert stem == STEM
+        merged = tmp_path / f"{stem}.fa"
+        with open(merged, "w") as fp:
+            write_fasta(fp, records)
+        ref = subprocess.run(
+            [
+                sys.executable,
+                str(REF / "scripts" / "final_stats.py"),
+                str(merged),
+                str(GOLDEN_XZ),
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        ours = compute_stats(GOLDEN_XZ, merged).to_tsv()
+        assert ours == ref.stdout
