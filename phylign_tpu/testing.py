@@ -277,12 +277,20 @@ def make_perf_fixture(
     genomes_per_batch: int = 32,
     n_reads: int = 2048,
     seed: int = 100,
+    read_seed: int | None = None,
 ) -> None:
     """A larger synthetic corpus for end-to-end throughput measurement
     (bench.py --e2e): ``n_reads`` 150 bp reads sampled from random positions
     of ``n_batches x genomes_per_batch`` genomes (half reverse-complemented,
-    1/64 unplanted), with the standard on-disk layout."""
+    1/64 unplanted), with the standard on-disk layout.
+
+    ``read_seed`` draws the READS from an independent stream so repeated
+    runs can share an identical database (the production shape: the 305
+    Zenodo batches are fixed across query workloads) while queries vary —
+    that lets a second run exercise the content-hash device index cache
+    exactly like a repeated production run would."""
     rng = np.random.default_rng(seed)
+    read_rng = np.random.default_rng(seed if read_seed is None else read_seed)
     workdir = Path(workdir)
     for d in ("input", "data", "cobs", "asms"):
         (workdir / d).mkdir(parents=True, exist_ok=True)
@@ -301,10 +309,10 @@ def make_perf_fixture(
     with open(workdir / "input" / "perf_reads.fq", "w") as f:
         for i in range(n_reads):
             if i % 64 == 63:
-                seq = _rand_seq(rng, READ_LEN)  # unplanted
+                seq = _rand_seq(read_rng, READ_LEN)  # unplanted
             else:
-                _, gseq = flat[int(rng.integers(0, len(flat)))]
-                pos = int(rng.integers(0, len(gseq) - READ_LEN))
+                _, gseq = flat[int(read_rng.integers(0, len(flat)))]
+                pos = int(read_rng.integers(0, len(gseq) - READ_LEN))
                 seq = gseq[pos : pos + READ_LEN]
                 if i % 2:
                     from phylign_tpu.kmer import revcomp
