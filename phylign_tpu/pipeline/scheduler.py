@@ -36,20 +36,34 @@ def _is_oom(err: BaseException) -> bool:
     allocation failure with a memory message. The reference's Snakemake
     restart-with-2x-memory covers *any* failure of an OOM-killed job
     (ref: /root/reference/Snakefile:507,540,573,592) — matching by message
-    keeps the retry as broad without retrying genuine logic errors."""
-    if isinstance(err, MemoryError):
-        return True
-    msg = str(err).upper()
-    return any(
-        s in msg
-        for s in (
-            "RESOURCE_EXHAUSTED",
+    keeps the retry as broad without retrying genuine logic errors.
+
+    The exception chain (__cause__/__context__) is walked so an XLA OOM
+    wrapped by pipeline code still retries; RESOURCE_EXHAUSTED only counts
+    on XLA runtime errors (a gRPC quota error quoting the same token — e.g.
+    surfaced through the download path — must not retry with doubled RAM)."""
+    seen: set[int] = set()
+    cur: BaseException | None = err
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        if isinstance(cur, MemoryError):
+            return True
+        msg = str(cur).upper()
+        generic = (
             "OUT OF MEMORY",
             "CANNOT ALLOCATE MEMORY",
             "MEMORY USAGE LIMIT",
             "ALLOCATION FAILURE",
         )
-    )
+        if any(s in msg for s in generic):
+            return True
+        if "RESOURCE_EXHAUSTED" in msg and type(cur).__name__ in (
+            "XlaRuntimeError",
+            "JaxRuntimeError",
+        ):
+            return True
+        cur = cur.__cause__ if cur.__cause__ is not None else cur.__context__
+    return False
 
 
 class RamPool:
