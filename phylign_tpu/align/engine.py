@@ -829,7 +829,32 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
     return records
 
 
+#: default align flush implementation: the device-resident fused path
+#: (align.fused). The host path below remains as the A/B oracle and the
+#: fallback (config perf key ``align_fused`` / env PHYLIGN_TPU_ALIGN_FUSED=0).
+FUSED_DEFAULT = True
+
+
 def flush_pairs(
+    tasks: list[PairTask], params: AlignParams, mesh=None, fused: bool | None = None
+) -> list[SamRecord]:
+    """Chain + extend a pool of pairs -> one record per pair in pool order.
+
+    Dispatches to the device-resident fused path (chain -> select -> extend
+    in one device program, see align.fused) unless disabled; the host
+    selection path below produces identical records (tested A/B)."""
+    import os
+
+    if fused is None:
+        fused = FUSED_DEFAULT and os.environ.get(
+            "PHYLIGN_TPU_ALIGN_FUSED", "1"
+        ) != "0"
+    if fused:
+        return flush_pairs_fused(tasks, params, mesh)
+    return flush_pairs_host(tasks, params, mesh)
+
+
+def flush_pairs_host(
     tasks: list[PairTask], params: AlignParams, mesh=None
 ) -> list[SamRecord]:
     """Chain + extend a pool of pairs (possibly spanning many genomes) as
@@ -922,30 +947,7 @@ def flush_pairs(
                 chained.append(((ti, len(picked)), c[:6] + (0.0,)))
                 picked.append(c)
 
-    records: dict[tuple[int, int], SamRecord] = {}
-    # group by query-length bucket and bound P*L so the extension's traceback
-    # plane ([P, L, BAND] f32) stays within a fixed memory budget — long gene
-    # queries (e.g. ARGannot, multi-kb) get smaller P per device call
-    by_bucket: dict[int, list] = {}
-    for item in chained:
-        ti = item[0][0]
-        lb = _round_up(max(32, len(tasks[ti].sketch.codes)), 256)
-        by_bucket.setdefault(lb, []).append(item)
-    chunks = []
-    for lb, items in sorted(by_bucket.items()):
-        max_p = max(8, (MAX_EXT_CELLS * 128) // (lb * params.band))
-        for off in range(0, len(items), max_p):
-            chunks.append((items[off : off + max_p], lb))
-    # bounded dispatch-ahead pipeline: chunk i+1's device pass (and its host
-    # window prep) runs while chunk i's results are fetched + post-processed
-    DEPTH = 2
-    inflight: list[_ExtCtx] = []
-    for ck, lb in chunks:
-        inflight.append(_extend_dispatch(tasks, ck, lb, params, mesh))
-        if len(inflight) >= DEPTH:
-            records.update(_extend_finish(inflight.pop(0)))
-    for ctx in inflight:
-        records.update(_extend_finish(ctx))
+    records = _extend_items(tasks, chained, params, mesh)
 
     out = []
     for ti, t in enumerate(tasks):
@@ -958,6 +960,394 @@ def flush_pairs(
         if rec_p is None and sups:
             # the best chain failed extension: the surviving best segment IS
             # the primary (minimap2 would have selected it the same way)
+            rec_p = dataclasses.replace(sups[0], flag=sups[0].flag & ~2048)
+            sups = sups[1:]
+        if rec_p is None:
+            out.append(unmapped_record(t.sketch.name, t.sketch.seq))
+            continue
+        out.append(rec_p)
+        out.extend(_hard_clip(r) for r in sups)
+    return out
+
+
+def _extend_items(
+    tasks: list[PairTask],
+    chained: list[tuple[tuple[int, int], tuple]],
+    params: AlignParams,
+    mesh=None,
+) -> dict[tuple[int, int], SamRecord]:
+    """Extend a list of selected chain segments -> {(ti, seg): record}.
+
+    Groups by query-length bucket and bounds P*L so the extension's traceback
+    plane ([P, L, BAND] f32) stays within a fixed memory budget — long gene
+    queries (e.g. ARGannot, multi-kb) get smaller P per device call. Runs a
+    bounded dispatch-ahead pipeline: chunk i+1's device pass (and its host
+    window prep) runs while chunk i's results are fetched + post-processed."""
+    records: dict[tuple[int, int], SamRecord] = {}
+    by_bucket: dict[int, list] = {}
+    for item in chained:
+        ti = item[0][0]
+        lb = _round_up(max(32, len(tasks[ti].sketch.codes)), 256)
+        by_bucket.setdefault(lb, []).append(item)
+    chunks = []
+    for lb, items in sorted(by_bucket.items()):
+        max_p = max(8, (MAX_EXT_CELLS * 128) // (lb * params.band))
+        for off in range(0, len(items), max_p):
+            chunks.append((items[off : off + max_p], lb))
+    DEPTH = 2
+    inflight: list[_ExtCtx] = []
+    for ck, lb in chunks:
+        inflight.append(_extend_dispatch(tasks, ck, lb, params, mesh))
+        if len(inflight) >= DEPTH:
+            records.update(_extend_finish(inflight.pop(0)))
+    for ctx in inflight:
+        records.update(_extend_finish(ctx))
+    return records
+
+
+# --- device-resident fused flush (align.fused) -------------------------------
+
+# bound on P * lmax per fused chunk: the score-only pass holds no traceback
+# plane, so the window buffers ([P, wlen] u8 + the index gather) are the
+# memory cost — far lighter than MAX_EXT_CELLS' plane budget
+FUSED_MAX_CELLS = 2 << 20
+
+
+@dataclasses.dataclass
+class _FusedCtx:
+    """One dispatched fused chunk: device handles + host metadata."""
+
+    tasks: list  # the GLOBAL task list (items reference global ti)
+    tis: list[int]  # global task index per chunk pair row
+    lmax: int
+    params: AlignParams
+    mesh: object
+    contig_names: list[str]  # global contig id -> rname
+    out_dev: object  # (ints, flts, neq_pack) device handles
+
+
+def _fused_dispatch(
+    tasks: list[PairTask], tis: list[int], params: AlignParams, mesh=None
+) -> _FusedCtx:
+    """Build + upload one fused chunk's inputs and dispatch the whole
+    chain -> select -> extend program (async; nothing fetched here)."""
+    import jax
+
+    from phylign_tpu.align import fused as fz
+
+    n = len(tis)
+    qmul = _mesh_q(mesh)
+    p = _bucket_pairs(n, qmul)
+
+    # --- anchor sets -> size buckets -> per-bucket chain dispatch -----------
+    anchor_sets: list[opm.Anchors] = []
+    set_meta: list[tuple[int, int]] = []  # (local pair row, strand)
+    for row, ti in enumerate(tis):
+        t = tasks[ti]
+        for strand, an in ((0, t.plus), (1, t.minus)):
+            if len(an.rpos) > 0:
+                anchor_sets.append(an)
+                set_meta.append((row, strand))
+    by_bucket: dict[int, list[int]] = {}
+    for i, a in enumerate(anchor_sets):
+        c = min(len(a.rpos), opc.MAX_ANCHORS)
+        a_pad = next(b for b in ANCHOR_BUCKETS if c <= b)
+        by_bucket.setdefault(a_pad, []).append(i)
+    over = [len(a.rpos) for a in anchor_sets if len(a.rpos) > opc.MAX_ANCHORS]
+    if over:
+        log.warning(
+            "%d anchor set(s) exceed MAX_ANCHORS=%d (largest %d); "
+            "chaining the first %d anchors of each",
+            len(over), opc.MAX_ANCHORS, max(over), opc.MAX_ANCHORS,
+        )
+    chains = []
+    flat_of = np.full(len(anchor_sets), -1, np.int64)
+    offset = 0
+    for a_pad, idxs in sorted(by_bucket.items()):
+        chains.append(_chain_bucket(anchor_sets, idxs, a_pad, params, mesh))
+        pb = _bucket_pairs(len(idxs), qmul)
+        flat_of[np.asarray(idxs)] = offset + np.arange(len(idxs))
+        offset += pb
+    s_tot = offset  # dummy slot index (scores -inf)
+    if not chains:  # no anchors anywhere: one empty bucket keeps shapes legal
+        chains.append(
+            _chain_bucket([], [], ANCHOR_BUCKETS[0], params, mesh)
+        )
+        s_tot = _bucket_pairs(0, qmul)
+
+    cand_map = np.full((p, 2), s_tot, np.int32)
+    for i, (row, strand) in enumerate(set_meta):
+        cand_map[row, strand] = flat_of[i]
+
+    # --- genome pool (2-bit packed, 4-aligned bases) + global contig table --
+    pair_base = np.zeros(p, np.int32)
+    pair_reflen = np.ones(p, np.int32)
+    base_of: dict[int, int] = {}
+    pool_parts: list[np.ndarray] = []
+    cst_l: list[int] = []
+    clen_l: list[int] = []
+    contig_names: list[str] = []
+    cur = 0
+    for row, ti in enumerate(tis):
+        ref = tasks[ti].ref
+        if id(ref) not in base_of:
+            base_of[id(ref)] = cur
+            pk = ref.packed4()
+            pool_parts.append(pk)
+            for nm, st, ln in zip(
+                ref.contig_names, ref.contig_starts, ref.contig_lens
+            ):
+                cst_l.append(cur + int(st))
+                clen_l.append(int(ln))
+                contig_names.append(nm)
+            cur += len(pk) * 4
+        pair_base[row] = base_of[id(ref)]
+        pair_reflen[row] = len(ref.codes)
+    assert cur < 2**31, "fused pool exceeds int32 coordinate space"
+    pool_pack = (
+        np.concatenate(pool_parts) if pool_parts else np.zeros(4, np.uint8)
+    )
+    # pad pool / contig table to power-of-two buckets: shapes are static
+    # under jit and every flush has a different genome pool size
+    plen = max(1 << 14, 1 << int(np.ceil(np.log2(len(pool_pack)))))
+    pool_pack = np.pad(pool_pack, (0, plen - len(pool_pack)))
+    nc = max(8, 1 << int(np.ceil(np.log2(max(1, len(cst_l))))))
+    cst = np.full(nc, np.iinfo(np.int32).max, np.int32)
+    cst[: len(cst_l)] = cst_l
+    clen = np.zeros(nc, np.int32)
+    clen[: len(clen_l)] = clen_l
+
+    # --- queries: both strands 2-bit packed, one scatter fill ---------------
+    lmax = _round_up(
+        max(32, max((len(tasks[ti].sketch.codes) for ti in tis), default=32)),
+        32,
+    )
+    q_len = np.zeros(p, np.int32)
+    qc = np.zeros((p, 2, lmax), np.uint8)
+    parts = []
+    for row, ti in enumerate(tis):
+        sk = tasks[ti].sketch
+        parts.append((row, sk.codes, sk.rc_codes))
+        q_len[row] = len(sk.codes)
+    if parts:
+        lens = np.repeat(q_len[:n], 2)
+        rows2 = np.repeat(np.arange(2 * n), lens)
+        cols2 = np.arange(int(lens.sum())) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        flat = np.concatenate(
+            [x for _, c, r in parts for x in (c, r)]
+        )
+        qc.reshape(p * 2, lmax)[rows2, cols2] = flat
+    q_pack2 = ope.pack2bit(qc.reshape(p * 2, lmax)).reshape(p, 2, -1)
+
+    wlen = lmax + params.band
+    kw = dict(
+        lmax=lmax, wlen=wlen, half=params.band // 2, scoring=params.scoring,
+        min_cnt=params.min_chain_cnt, min_score=params.min_chain_score,
+        max_segments=params.max_segments,
+    )
+    host_in = (cand_map, pair_base, pair_reflen, q_pack2, q_len,
+               pool_pack, cst, clen)
+    dev_in = jax.device_put(host_in)  # one batched H2D round trip
+    if mesh is not None:
+        out = fz.dist_select_extend(mesh, tuple(chains), *dev_in, **kw)
+    else:
+        out = fz.select_extend(tuple(chains), *dev_in, **kw)
+    return _FusedCtx(
+        tasks=tasks, tis=tis, lmax=lmax, params=params, mesh=mesh,
+        contig_names=contig_names, out_dev=out,
+    )
+
+
+def _fused_finish(
+    ctx: _FusedCtx,
+) -> tuple[dict[tuple[int, int], SamRecord], list]:
+    """Fetch one fused chunk and assemble its fast-path records.
+
+    Returns (records keyed (global ti, seg), delegated items) — delegated
+    items (gapped primaries, supplementary segments) run through the host
+    traceback extension path for byte-identical records."""
+    import jax
+
+    from phylign_tpu.align import fused as fz
+
+    params, tis, lmax = ctx.params, ctx.tis, ctx.lmax
+    tasks = ctx.tasks
+    n = len(tis)
+    n_sup = max(0, params.max_segments - 1)
+    ints, flts, neqp = jax.device_get(ctx.out_dev)
+
+    flags = ints[:n, 3]
+    has = (flags & fz.F_HAS) != 0
+    diag = (flags & fz.F_DIAG) != 0
+    full = (flags & fz.F_FULL) != 0
+    strand_a = ((flags & fz.F_STRAND) != 0).astype(np.int64)
+    end_d = ints[:n, 0]
+    ci_a = ints[:n, 1]
+    rel0 = ints[:n, 2]
+    prim_qs, prim_qe = ints[:n, 4], ints[:n, 5]
+    prim_rs, prim_re = ints[:n, 6], ints[:n, 7]
+    prim_score = flts[:n, 0]
+    s2_a = flts[:n, 1]
+    q_len = np.fromiter(
+        (len(tasks[ti].sketch.codes) for ti in tis), np.int64, count=n
+    )
+    neq_mask = np.unpackbits(neqp[:n], axis=1)[:, : lmax].astype(bool)
+
+    records: dict[tuple[int, int], SamRecord] = {}
+    delegated: list[tuple[tuple[int, int], tuple]] = []
+
+    # delegated work first: gapped primaries + every supplementary segment
+    gap_rows = np.flatnonzero(has & ~diag).tolist()
+    for i in gap_rows:
+        delegated.append(
+            (
+                (tis[i], 0),
+                (
+                    float(prim_score[i]), int(strand_a[i]),
+                    int(prim_qs[i]), int(prim_qe[i]),
+                    int(prim_rs[i]), int(prim_re[i]), float(s2_a[i]),
+                ),
+            )
+        )
+    for s in range(n_sup):
+        found = (flags & (fz.F_SUP0 << s)) != 0
+        base_c = 8 + 5 * s
+        for i in np.flatnonzero(found).tolist():
+            delegated.append(
+                (
+                    (tis[i], s + 1),
+                    (
+                        float(flts[i, 3 + s]), int(ints[i, base_c]),
+                        int(ints[i, base_c + 1]), int(ints[i, base_c + 2]),
+                        int(ints[i, base_c + 3]), int(ints[i, base_c + 4]),
+                        0.0,
+                    ),
+                ),
+            )
+
+    # fast path: gapless rows — CIGAR straight from the mismatch bitmask
+    fast = np.flatnonzero(has & diag)
+    m_s, x_s = params.scoring.match, params.scoring.mismatch
+    mrow, mcol = np.nonzero(neq_mask[fast])
+    mis_of: dict[int, list[int]] = {}
+    fast_l = fast.tolist()
+    for r_, c_ in zip(mrow.tolist(), mcol.tolist()):
+        mis_of.setdefault(fast_l[r_], []).append(c_)
+    full_l = full.tolist()
+    qlen_l = q_len.tolist()
+    end_l = end_d.tolist()
+    rel0_l = rel0.tolist()
+    ci_l = ci_a.tolist()
+    strand_l = strand_a.tolist()
+    sc_l = prim_score.tolist()
+    s2_l = s2_a.tolist()
+    names = ctx.contig_names
+    for i in fast_l:
+        cig = _cigar_from_mismatches(mis_of.get(i, ()), qlen_l[i])
+        if full_l[i]:
+            lead_r = 0
+            n_x = len(mis_of.get(i, ()))
+            dp_score = m_s * (qlen_l[i] - n_x) - x_s * n_x
+            n_eq = qlen_l[i] - n_x
+            n_i = n_d = 0
+            parts = [f"{nn}{op}" for nn, op in cig]
+        else:
+            trimmed = _local_trim(cig, params.scoring)
+            if trimmed is None:
+                continue
+            cig, lead_r, dp_score = trimmed
+            if dp_score < params.scoring.min_dp_score:
+                continue
+            cig = _soft_clip_ends(cig)
+            n_eq = n_x = n_i = n_d = 0
+            parts = []
+            for nn, op in cig:
+                parts.append(f"{nn}{op}")
+                if op == "=":
+                    n_eq += nn
+                elif op == "X":
+                    n_x += nn
+                elif op == "I":
+                    n_i += nn
+                elif op == "D":
+                    n_d += nn
+        ti = tis[i]
+        sk = tasks[ti].sketch
+        pos = rel0_l[i] + end_l[i] + lead_r + 1
+        nm = n_x + n_i + n_d
+        de = round(nm / max(1, n_eq + nm), 4)
+        csc, s2 = sc_l[i], s2_l[i]
+        strand = strand_l[i]
+        records[(ti, 0)] = SamRecord(
+            qname=sk.name,
+            flag=16 if strand else 0,
+            rname=names[ci_l[i]],
+            pos=pos,
+            mapq=_mapq(csc, s2),
+            cigar="".join(parts),
+            seq=sk.rc_seq() if strand else sk.seq,
+            tags=[
+                f"NM:i:{nm}",
+                f"ms:i:{int(dp_score)}",
+                f"AS:i:{int(dp_score)}",
+                "nn:i:0",
+                "tp:A:P",
+                f"cm:i:{int(csc / params.k)}",
+                f"s1:i:{int(csc)}",
+                f"s2:i:{int(s2)}",
+                f"de:f:{de}",
+                "rl:i:0",
+            ],
+        )
+    return records, delegated
+
+
+def flush_pairs_fused(
+    tasks: list[PairTask], params: AlignParams, mesh=None
+) -> list[SamRecord]:
+    """Device-resident flush: per length bucket, dispatch fused chunks with a
+    bounded pipeline, then run the (rare) delegated segments through the host
+    traceback path. Record set and order are identical to flush_pairs_host."""
+    if not tasks:
+        return []
+    by_lb: dict[int, list[int]] = {}
+    for ti, t in enumerate(tasks):
+        lb = _round_up(max(32, len(t.sketch.codes)), 256)
+        by_lb.setdefault(lb, []).append(ti)
+    chunks: list[list[int]] = []
+    for lb, tis in sorted(by_lb.items()):
+        max_p = max(8, FUSED_MAX_CELLS // lb)
+        for off in range(0, len(tis), max_p):
+            chunks.append(tis[off : off + max_p])
+
+    records: dict[tuple[int, int], SamRecord] = {}
+    delegated: list = []
+    DEPTH = 2
+    inflight: list[_FusedCtx] = []
+    for tis in chunks:
+        inflight.append(_fused_dispatch(tasks, tis, params, mesh))
+        if len(inflight) >= DEPTH:
+            rec, dele = _fused_finish(inflight.pop(0))
+            records.update(rec)
+            delegated.extend(dele)
+    for ctx in inflight:
+        rec, dele = _fused_finish(ctx)
+        records.update(rec)
+        delegated.extend(dele)
+    if delegated:
+        records.update(_extend_items(tasks, delegated, params, mesh))
+
+    out = []
+    for ti, t in enumerate(tasks):
+        rec_p = records.get((ti, 0))
+        sups = [
+            records[(ti, s)]
+            for s in range(1, params.max_segments)
+            if (ti, s) in records
+        ]
+        if rec_p is None and sups:
             rec_p = dataclasses.replace(sups[0], flag=sups[0].flag & ~2048)
             sups = sups[1:]
         if rec_p is None:

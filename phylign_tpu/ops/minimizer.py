@@ -141,10 +141,23 @@ class RefIndex:
     # full sorted table — the two passes were the top anchor-collection cost
     _uniq: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
+    # lazily-built 2-bit packed codes (4 codes/byte, length padded to a
+    # multiple of 4) for the fused align path's device genome pool
+    _pack4: np.ndarray | None = None
+
     def contig_of(self, gpos: int) -> tuple[int, int]:
         """Global position -> (contig_idx, position within contig)."""
         c = int(np.searchsorted(self.contig_starts, gpos, side="right")) - 1
         return c, int(gpos - self.contig_starts[c])
+
+    def packed4(self) -> np.ndarray:
+        """2-bit packed codes ([ceil(T/4)] uint8, code j in bits 2*(j%4));
+        cached — a genome is pooled into exactly one fused align flush."""
+        if self._pack4 is None:
+            from phylign_tpu.align.fused import pack2bit_flat
+
+            object.__setattr__(self, "_pack4", pack2bit_flat(self.codes))
+        return self._pack4
 
     def uniq_table(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(unique_hashes, start_offset, count) over sort_hash; cached."""

@@ -1,6 +1,17 @@
-"""Align-stage microbenchmark on the real chip: pairs/s + phase breakdown."""
+"""Align-stage microbenchmark on the real chip: pairs/s + phase breakdown.
+
+Usage: align_bench.py [N_READS] [host|fused] [pipe]
+
+  * default mode runs the fused device-resident flush (the production
+    default, align.fused); 'host' runs the round-2 host selection path.
+  * 'pipe' adds a steady-state measurement: M pools flow through the same
+    one-deep flush pipeline align_batch uses in production (pool i+1's
+    anchor collection overlaps pool i's device flush), which is the number
+    that maps to batch-align throughput.
+"""
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
@@ -17,6 +28,11 @@ enable()
 rng = np.random.default_rng(0)
 G = 3_000_000
 N_READS = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+MODE = sys.argv[2] if len(sys.argv) > 2 else "fused"
+PIPE = "pipe" in sys.argv[3:] or MODE == "pipe"
+if MODE == "pipe":
+    MODE = "fused"
+FUSED = MODE != "host"
 RL = 150
 params = ae.AlignParams.from_preset("sr")
 
@@ -48,7 +64,7 @@ for rep in range(6):
     t0 = time.perf_counter()
     pairs = ae.make_pairs_batch(ref, sks, params)
     t1 = time.perf_counter()
-    recs = ae.flush_pairs(pairs, params)
+    recs = ae.flush_pairs(pairs, params, fused=FUSED)
     t2 = time.perf_counter()
     mapped = sum(1 for r in recs if r.flag != 4)
     print(
@@ -57,4 +73,23 @@ for rep in range(6):
     )
     if rep > 0:  # rep0 pays compiles
         best = min(best or 1e9, t2 - t0)
-print(f"best warm: {N_READS/best:.0f} pairs/s ({best:.2f}s)")
+print(f"[{MODE}] best warm: {N_READS/best:.0f} pairs/s ({best:.2f}s)")
+
+if PIPE:
+    # steady state: M pools through the production one-deep flush pipeline
+    M = 6
+    t0 = time.perf_counter()
+    done = 0
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None
+        for _ in range(M):
+            pairs = ae.make_pairs_batch(ref, sks, params)
+            if pending is not None:
+                done += len(pending.result())
+            pending = ex.submit(ae.flush_pairs, pairs, params, None, FUSED)
+        done += len(pending.result())
+    dt = time.perf_counter() - t0
+    print(
+        f"[{MODE}] pipelined steady state: {M*N_READS/dt:.0f} pairs/s "
+        f"({M} pools x {N_READS}, {dt:.2f}s, {done} records)"
+    )
