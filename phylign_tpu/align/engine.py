@@ -1076,33 +1076,37 @@ def _fused_dispatch(
         s_tot = _bucket_pairs(0, qmul)
 
     cand_map = np.full((p, 2), s_tot, np.int32)
-    for i, (row, strand) in enumerate(set_meta):
-        cand_map[row, strand] = flat_of[i]
+    if set_meta:
+        sm = np.asarray(set_meta, np.int64)  # [S, 2] (row, strand)
+        cand_map[sm[:, 0], sm[:, 1]] = flat_of
 
     # --- genome pool (2-bit packed, 4-aligned bases) + global contig table --
     pair_base = np.zeros(p, np.int32)
     pair_reflen = np.ones(p, np.int32)
-    base_of: dict[int, int] = {}
+    # unique refs via id() once; per-pair base/reflen filled by inverse index
+    ref_ids = np.fromiter((id(tasks[ti].ref) for ti in tis), np.int64, count=n)
+    uniq_ids, inv = np.unique(ref_ids, return_inverse=True)
+    refs_u = [None] * len(uniq_ids)
+    for row, ti in enumerate(tis):
+        refs_u[inv[row]] = tasks[ti].ref
     pool_parts: list[np.ndarray] = []
     cst_l: list[int] = []
     clen_l: list[int] = []
     contig_names: list[str] = []
+    bases = np.zeros(len(refs_u), np.int64)
+    reflens = np.zeros(len(refs_u), np.int64)
     cur = 0
-    for row, ti in enumerate(tis):
-        ref = tasks[ti].ref
-        if id(ref) not in base_of:
-            base_of[id(ref)] = cur
-            pk = ref.packed4()
-            pool_parts.append(pk)
-            for nm, st, ln in zip(
-                ref.contig_names, ref.contig_starts, ref.contig_lens
-            ):
-                cst_l.append(cur + int(st))
-                clen_l.append(int(ln))
-                contig_names.append(nm)
-            cur += len(pk) * 4
-        pair_base[row] = base_of[id(ref)]
-        pair_reflen[row] = len(ref.codes)
+    for u, ref in enumerate(refs_u):
+        bases[u] = cur
+        reflens[u] = len(ref.codes)
+        pk = ref.packed4()
+        pool_parts.append(pk)
+        cst_l.extend((cur + ref.contig_starts).tolist())
+        clen_l.extend(ref.contig_lens.tolist())
+        contig_names.extend(ref.contig_names)
+        cur += len(pk) * 4
+    pair_base[:n] = bases[inv]
+    pair_reflen[:n] = reflens[inv]
     assert cur < 2**31, "fused pool exceeds int32 coordinate space"
     pool_pack = (
         np.concatenate(pool_parts) if pool_parts else np.zeros(4, np.uint8)
@@ -1125,20 +1129,23 @@ def _fused_dispatch(
     q_len = np.zeros(p, np.int32)
     qc = np.zeros((p, 2, lmax), np.uint8)
     parts = []
-    for row, ti in enumerate(tis):
+    for ti in tis:
         sk = tasks[ti].sketch
-        parts.append((row, sk.codes, sk.rc_codes))
-        q_len[row] = len(sk.codes)
+        parts.append(sk.codes)
+        parts.append(sk.rc_codes)
+    q_len[:n] = [len(parts[2 * i]) for i in range(n)]
     if parts:
-        lens = np.repeat(q_len[:n], 2)
-        rows2 = np.repeat(np.arange(2 * n), lens)
-        cols2 = np.arange(int(lens.sum())) - np.repeat(
-            np.cumsum(lens) - lens, lens
-        )
-        flat = np.concatenate(
-            [x for _, c, r in parts for x in (c, r)]
-        )
-        qc.reshape(p * 2, lmax)[rows2, cols2] = flat
+        flat = np.concatenate(parts)
+        if np.all(q_len[:n] == q_len[0]):
+            # uniform read length (the sr norm): plain reshape, no scatter
+            qc[:n, :, : int(q_len[0])] = flat.reshape(n, 2, int(q_len[0]))
+        else:
+            lens = np.repeat(q_len[:n], 2)
+            rows2 = np.repeat(np.arange(2 * n), lens)
+            cols2 = np.arange(int(lens.sum())) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            qc.reshape(p * 2, lmax)[rows2, cols2] = flat
     q_pack2 = ope.pack2bit(qc.reshape(p * 2, lmax)).reshape(p, 2, -1)
 
     wlen = lmax + params.band
@@ -1154,6 +1161,13 @@ def _fused_dispatch(
         out = fz.dist_select_extend(mesh, tuple(chains), *dev_in, **kw)
     else:
         out = fz.select_extend(tuple(chains), *dev_in, **kw)
+        # start the D2H of the hot payload NOW (async, follows the compute):
+        # by the time _fused_finish fetches, the bytes are already host-side
+        for arr in jax.tree_util.tree_leaves(out[:4]):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - backend-dependent
+                break
     return _FusedCtx(
         tasks=tasks, tis=tis, lmax=lmax, params=params, mesh=mesh,
         contig_names=contig_names, out_dev=out,
@@ -1176,18 +1190,21 @@ def _fused_finish(
     tasks = ctx.tasks
     n = len(tis)
     n_sup = max(0, params.max_segments - 1)
-    ints, flts, neqp = jax.device_get(ctx.out_dev)
+    compacted = len(ctx.out_dev) == 5  # single-device: compact cold on board
+    if compacted:
+        hot, flts, neqp, (cc_i, cc_f) = jax.device_get(ctx.out_dev[:4])
+    else:
+        hot, flts, neqp = jax.device_get(ctx.out_dev[:3])
 
-    flags = ints[:n, 3]
+    meta = hot[:n, 2]
+    flags = meta & 0xFF
+    end_d = meta >> 8
     has = (flags & fz.F_HAS) != 0
     diag = (flags & fz.F_DIAG) != 0
     full = (flags & fz.F_FULL) != 0
     strand_a = ((flags & fz.F_STRAND) != 0).astype(np.int64)
-    end_d = ints[:n, 0]
-    ci_a = ints[:n, 1]
-    rel0 = ints[:n, 2]
-    prim_qs, prim_qe = ints[:n, 4], ints[:n, 5]
-    prim_rs, prim_re = ints[:n, 6], ints[:n, 7]
+    rel0 = hot[:n, 0]
+    ci_a = hot[:n, 1]
     prim_score = flts[:n, 0]
     s2_a = flts[:n, 1]
     q_len = np.fromiter(
@@ -1198,36 +1215,59 @@ def _fused_finish(
     records: dict[tuple[int, int], SamRecord] = {}
     delegated: list[tuple[tuple[int, int], tuple]] = []
 
-    # delegated work first: gapped primaries + every supplementary segment
-    gap_rows = np.flatnonzero(has & ~diag).tolist()
-    for i in gap_rows:
-        delegated.append(
-            (
-                (tis[i], 0),
-                (
-                    float(prim_score[i]), int(strand_a[i]),
-                    int(prim_qs[i]), int(prim_qe[i]),
-                    int(prim_rs[i]), int(prim_re[i]), float(s2_a[i]),
-                ),
-            )
-        )
+    # delegated work: gapped primaries + supplementary segments. Their
+    # coordinates ride in the compacted cold slots of the main fetch
+    # (single-device), or a full cold fetch (mesh / compaction overflow) —
+    # either way the common all-gapless flush pays no extra bytes or RTT.
+    sup_mask = np.int32(0)
     for s in range(n_sup):
-        found = (flags & (fz.F_SUP0 << s)) != 0
-        base_c = 8 + 5 * s
-        for i in np.flatnonzero(found).tolist():
+        sup_mask |= np.int32(fz.F_SUP0 << s)
+    need = (has & ~diag) | ((flags & sup_mask) != 0)
+    need_rows = np.flatnonzero(need)
+    gap_rows = np.flatnonzero(has & ~diag).tolist()
+    if len(need_rows):
+        if compacted and len(need_rows) <= fz.COLD_CAP:
+            # compact slot j holds cold data of the j-th needed row
+            cold_i = np.zeros((n, cc_i.shape[1]), np.int32)
+            cold_f = np.zeros((n, cc_f.shape[1]), np.float32)
+            cold_i[need_rows] = cc_i[: len(need_rows)]
+            cold_f[need_rows] = cc_f[: len(need_rows)]
+        else:
+            cold_i, cold_f = jax.device_get(ctx.out_dev[-1])
+        for i in gap_rows:
             delegated.append(
                 (
-                    (tis[i], s + 1),
+                    (tis[i], 0),
                     (
-                        float(flts[i, 3 + s]), int(ints[i, base_c]),
-                        int(ints[i, base_c + 1]), int(ints[i, base_c + 2]),
-                        int(ints[i, base_c + 3]), int(ints[i, base_c + 4]),
-                        0.0,
+                        float(prim_score[i]), int(strand_a[i]),
+                        int(cold_i[i, 0]), int(cold_i[i, 1]),
+                        int(cold_i[i, 2]), int(cold_i[i, 3]),
+                        float(s2_a[i]),
                     ),
-                ),
+                )
             )
+        for s in range(n_sup):
+            found = (flags & (fz.F_SUP0 << s)) != 0
+            base_c = 4 + 5 * s
+            for i in np.flatnonzero(found).tolist():
+                delegated.append(
+                    (
+                        (tis[i], s + 1),
+                        (
+                            float(cold_f[i, s]), int(cold_i[i, base_c]),
+                            int(cold_i[i, base_c + 1]),
+                            int(cold_i[i, base_c + 2]),
+                            int(cold_i[i, base_c + 3]),
+                            int(cold_i[i, base_c + 4]),
+                            0.0,
+                        ),
+                    ),
+                )
 
-    # fast path: gapless rows — CIGAR straight from the mismatch bitmask
+    # fast path: gapless rows — CIGAR straight from the mismatch bitmask.
+    # Every per-record scalar that does not depend on the cigar is computed
+    # in bulk numpy; the python loop only assembles strings (~8k records
+    # per flush makes per-record python a first-order cost).
     fast = np.flatnonzero(has & diag)
     m_s, x_s = params.scoring.match, params.scoring.mismatch
     mrow, mcol = np.nonzero(neq_mask[fast])
@@ -1235,6 +1275,24 @@ def _fused_finish(
     fast_l = fast.tolist()
     for r_, c_ in zip(mrow.tolist(), mcol.tolist()):
         mis_of.setdefault(fast_l[r_], []).append(c_)
+    neq_cnt = neq_mask.sum(axis=1, dtype=np.int64)
+    # vectorized twins of the per-record scalars (valid for FULL rows; the
+    # trim path recomputes from its trimmed cigar)
+    dp_v = m_s * (q_len - neq_cnt) - x_s * neq_cnt
+    de_v = np.round(neq_cnt / np.maximum(1, q_len), 4)
+    # float64 throughout so boundary truncations match the python-scalar
+    # path bit-for-bit (s2/s1 and csc/k in f32 round differently)
+    s1_f64 = prim_score.astype(np.float64)
+    s2_f64 = s2_a.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.clip(1.0 - s2_f64 / np.where(s1_f64 == 0, 1, s1_f64), 0.0, 1.0)
+    mapq_v = np.clip((60 * ratio).astype(np.int64), 0, 60)
+    mapq_v[prim_score <= 0] = 0
+    cm_v = (s1_f64 / params.k).astype(np.int64)
+    s1_v = prim_score.astype(np.int64)
+    s2i_v = s2_a.astype(np.int64)
+    pos_v = rel0 + end_d + 1  # full rows: lead_r == 0
+
     full_l = full.tolist()
     qlen_l = q_len.tolist()
     end_l = end_d.tolist()
@@ -1243,17 +1301,32 @@ def _fused_finish(
     strand_l = strand_a.tolist()
     sc_l = prim_score.tolist()
     s2_l = s2_a.tolist()
+    nm_l = neq_cnt.tolist()
+    dp_l = dp_v.tolist()
+    de_l = de_v.tolist()
+    mapq_l = mapq_v.tolist()
+    cm_l = cm_v.tolist()
+    s1_l = s1_v.tolist()
+    s2i_l = s2i_v.tolist()
+    pos_l = pos_v.tolist()
     names = ctx.contig_names
+    perfect_cig: dict[int, str] = {}  # qlen -> "L=" (zero-mismatch cigar)
     for i in fast_l:
-        cig = _cigar_from_mismatches(mis_of.get(i, ()), qlen_l[i])
         if full_l[i]:
-            lead_r = 0
-            n_x = len(mis_of.get(i, ()))
-            dp_score = m_s * (qlen_l[i] - n_x) - x_s * n_x
-            n_eq = qlen_l[i] - n_x
-            n_i = n_d = 0
-            parts = [f"{nn}{op}" for nn, op in cig]
+            nm = nm_l[i]
+            if nm:
+                cig = _cigar_from_mismatches(mis_of[i], qlen_l[i])
+                cigar = "".join(f"{nn}{op}" for nn, op in cig)
+            else:
+                cigar = perfect_cig.get(qlen_l[i])
+                if cigar is None:
+                    cigar = perfect_cig.setdefault(
+                        qlen_l[i], f"{qlen_l[i]}="
+                    )
+            pos, dp_score, de, mapq = pos_l[i], dp_l[i], de_l[i], mapq_l[i]
+            cm, s1i, s2i = cm_l[i], s1_l[i], s2i_l[i]
         else:
+            cig = _cigar_from_mismatches(mis_of.get(i, ()), qlen_l[i])
             trimmed = _local_trim(cig, params.scoring)
             if trimmed is None:
                 continue
@@ -1273,30 +1346,33 @@ def _fused_finish(
                     n_i += nn
                 elif op == "D":
                     n_d += nn
+            cigar = "".join(parts)
+            nm = n_x + n_i + n_d
+            de = round(nm / max(1, n_eq + nm), 4)
+            pos = rel0_l[i] + end_l[i] + lead_r + 1
+            dp_score = int(dp_score)
+            mapq = _mapq(sc_l[i], s2_l[i])
+            cm, s1i, s2i = int(sc_l[i] / params.k), int(sc_l[i]), int(s2_l[i])
         ti = tis[i]
         sk = tasks[ti].sketch
-        pos = rel0_l[i] + end_l[i] + lead_r + 1
-        nm = n_x + n_i + n_d
-        de = round(nm / max(1, n_eq + nm), 4)
-        csc, s2 = sc_l[i], s2_l[i]
         strand = strand_l[i]
         records[(ti, 0)] = SamRecord(
             qname=sk.name,
             flag=16 if strand else 0,
             rname=names[ci_l[i]],
             pos=pos,
-            mapq=_mapq(csc, s2),
-            cigar="".join(parts),
+            mapq=mapq,
+            cigar=cigar,
             seq=sk.rc_seq() if strand else sk.seq,
             tags=[
                 f"NM:i:{nm}",
-                f"ms:i:{int(dp_score)}",
-                f"AS:i:{int(dp_score)}",
+                f"ms:i:{dp_score}",
+                f"AS:i:{dp_score}",
                 "nn:i:0",
                 "tp:A:P",
-                f"cm:i:{int(csc / params.k)}",
-                f"s1:i:{int(csc)}",
-                f"s2:i:{int(s2)}",
+                f"cm:i:{cm}",
+                f"s1:i:{s1i}",
+                f"s2:i:{s2i}",
                 f"de:f:{de}",
                 "rl:i:0",
             ],
@@ -1304,14 +1380,40 @@ def _fused_finish(
     return records, delegated
 
 
-def flush_pairs_fused(
-    tasks: list[PairTask], params: AlignParams, mesh=None
-) -> list[SamRecord]:
-    """Device-resident flush: per length bucket, dispatch fused chunks with a
-    bounded pipeline, then run the (rare) delegated segments through the host
-    traceback path. Record set and order are identical to flush_pairs_host."""
-    if not tasks:
-        return []
+@dataclasses.dataclass
+class FusedFlush:
+    """An in-flight fused flush: dispatched device chunks + queued chunk
+    specs. flush_pairs_begin returns one; flush_pairs_end drains it. The
+    split lets callers overlap the device time of flush i with the HOST
+    prep (tar streaming, sketching, anchor collection) of flush i+1 in a
+    single thread — no GIL contention, records still in pool order."""
+
+    tasks: list
+    params: AlignParams
+    mesh: object
+    inflight: list[_FusedCtx]
+    queued: list[list[int]]  # chunk tis not yet dispatched
+    host_records: list[SamRecord] | None = None  # host-path fallback result
+
+
+_FUSED_DEPTH = 2  # dispatched-ahead fused chunks per flush
+
+
+def flush_pairs_begin(
+    tasks: list[PairTask], params: AlignParams, mesh=None, fused: bool | None = None
+) -> FusedFlush:
+    """Dispatch a pool's device work (async). Pair with flush_pairs_end."""
+    import os
+
+    if fused is None:
+        fused = FUSED_DEFAULT and os.environ.get(
+            "PHYLIGN_TPU_ALIGN_FUSED", "1"
+        ) != "0"
+    if not fused:
+        return FusedFlush(
+            tasks=tasks, params=params, mesh=mesh, inflight=[], queued=[],
+            host_records=flush_pairs_host(tasks, params, mesh),
+        )
     by_lb: dict[int, list[int]] = {}
     for ti, t in enumerate(tasks):
         lb = _round_up(max(32, len(t.sketch.codes)), 256)
@@ -1321,21 +1423,33 @@ def flush_pairs_fused(
         max_p = max(8, FUSED_MAX_CELLS // lb)
         for off in range(0, len(tis), max_p):
             chunks.append(tis[off : off + max_p])
+    ff = FusedFlush(
+        tasks=tasks, params=params, mesh=mesh, inflight=[], queued=chunks
+    )
+    while ff.queued and len(ff.inflight) < _FUSED_DEPTH:
+        ff.inflight.append(
+            _fused_dispatch(tasks, ff.queued.pop(0), params, mesh)
+        )
+    return ff
 
+
+def flush_pairs_end(ff: FusedFlush) -> list[SamRecord]:
+    """Finish a dispatched flush: fetch chunks (dispatching queued ones as
+    slots free), run delegated segments through the host traceback path,
+    assemble pool-order records."""
+    if ff.host_records is not None:
+        return ff.host_records
+    tasks, params, mesh = ff.tasks, ff.params, ff.mesh
     records: dict[tuple[int, int], SamRecord] = {}
     delegated: list = []
-    DEPTH = 2
-    inflight: list[_FusedCtx] = []
-    for tis in chunks:
-        inflight.append(_fused_dispatch(tasks, tis, params, mesh))
-        if len(inflight) >= DEPTH:
-            rec, dele = _fused_finish(inflight.pop(0))
-            records.update(rec)
-            delegated.extend(dele)
-    for ctx in inflight:
-        rec, dele = _fused_finish(ctx)
+    while ff.inflight:
+        rec, dele = _fused_finish(ff.inflight.pop(0))
         records.update(rec)
         delegated.extend(dele)
+        if ff.queued:
+            ff.inflight.append(
+                _fused_dispatch(tasks, ff.queued.pop(0), params, mesh)
+            )
     if delegated:
         records.update(_extend_items(tasks, delegated, params, mesh))
 
@@ -1356,6 +1470,16 @@ def flush_pairs_fused(
         out.append(rec_p)
         out.extend(_hard_clip(r) for r in sups)
     return out
+
+
+def flush_pairs_fused(
+    tasks: list[PairTask], params: AlignParams, mesh=None
+) -> list[SamRecord]:
+    """Device-resident flush: dispatch + drain (see flush_pairs_begin/end).
+    Record set and order are identical to flush_pairs_host."""
+    if not tasks:
+        return []
+    return flush_pairs_end(flush_pairs_begin(tasks, params, mesh, fused=True))
 
 
 def _hard_clip(rec: SamRecord) -> SamRecord:
@@ -1419,11 +1543,10 @@ def align_batch(
     batch_accessions: the batch's own accession allow-list
     (ref: Snakefile:543-546), or None to accept all.
     device_lock: optional lock serializing device submissions; held only
-    around the pooled flush, so tar streaming / ref indexing / anchor
-    collection of OTHER batches overlaps this batch's device work.
+    around the pooled flush dispatch/drain, so tar streaming / ref indexing /
+    anchor collection of OTHER batches overlaps this batch's device work.
     """
     import contextlib
-    from concurrent.futures import ThreadPoolExecutor
 
     _lk = device_lock if device_lock is not None else contextlib.nullcontext()
     rname_to_q: dict[str, list[int]] = {}
@@ -1449,36 +1572,45 @@ def align_batch(
     pool_ref_bytes = 0
     pool_refs: set[int] = set()
 
-    def _flush(p):
-        with _lk:
-            return flush_pairs(p, params, mesh)
+    # one-deep flush pipeline WITHOUT a worker thread: flush i's device
+    # program is DISPATCHED (flush_pairs_begin, async), the next pool's tar
+    # streaming / ref indexing / anchor collection runs while the device
+    # computes, then flush i is drained (flush_pairs_end). The previous
+    # ThreadPoolExecutor version overlapped host python with host python —
+    # pure GIL contention (measured SLOWER than serial at 8k pools).
+    pending: FusedFlush | None = None
 
-    # one-deep flush pipeline: the NEXT pool's tar streaming / ref indexing
-    # / anchor collection overlaps the in-flight flush's device round trips
-    # (records still come out in pool order)
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        pending = None
-        for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
-            ref = opm.build_ref_index(rname, contigs, params.k, params.w, hpc=params.hpc)
-            sks = []
-            for qi in rname_to_q[rname]:
-                if qi not in sketch_cache:
-                    fq = queries[qi]
-                    sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
-                sks.append(sketch_cache[qi])
-            pool.extend(make_pairs_batch(ref, sks, params))
-            if id(ref) not in pool_refs:
-                pool_refs.add(id(ref))
-                pool_ref_bytes += ref.codes.nbytes + ref.sort_hash.nbytes * 2
-            # flush pooled pairs (spanning genomes) once the device batch is
-            # full OR the pinned-genome bytes exceed the pool budget
-            if len(pool) >= pair_chunk or pool_ref_bytes >= pool_ref_budget:
-                if pending is not None:
-                    yield from pending.result()
-                pending = ex.submit(_flush, pool)
-                pool = []
-                pool_refs.clear()
-                pool_ref_bytes = 0
-        if pending is not None:
-            yield from pending.result()
-        yield from _flush(pool)
+    def _begin(p):
+        with _lk:
+            return flush_pairs_begin(p, params, mesh)
+
+    def _end(ff):
+        with _lk:
+            return flush_pairs_end(ff)
+
+    for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
+        ref = opm.build_ref_index(rname, contigs, params.k, params.w, hpc=params.hpc)
+        sks = []
+        for qi in rname_to_q[rname]:
+            if qi not in sketch_cache:
+                fq = queries[qi]
+                sketch_cache[qi] = QuerySketch.make(fq.qname, fq.seq, params)
+            sks.append(sketch_cache[qi])
+        pool.extend(make_pairs_batch(ref, sks, params))
+        if id(ref) not in pool_refs:
+            pool_refs.add(id(ref))
+            pool_ref_bytes += ref.codes.nbytes + ref.sort_hash.nbytes * 2
+        # flush pooled pairs (spanning genomes) once the device batch is
+        # full OR the pinned-genome bytes exceed the pool budget
+        if len(pool) >= pair_chunk or pool_ref_bytes >= pool_ref_budget:
+            nxt = _begin(pool)
+            if pending is not None:
+                yield from _end(pending)
+            pending = nxt
+            pool = []
+            pool_refs.clear()
+            pool_ref_bytes = 0
+    nxt = _begin(pool)
+    if pending is not None:
+        yield from _end(pending)
+    yield from _end(nxt)

@@ -47,6 +47,8 @@ F_STRAND = 8  # primary candidate strand (1 = reverse)
 F_PRIMTYPE = 16  # primary candidate is a strand-set primary (alt is valid)
 F_SUP0 = 32  # supplementary segment s found -> bit (5 + s)
 
+COLD_CAP = 512  # compacted delegation rows shipped with the hot fetch
+
 
 def pack2bit_flat(a: np.ndarray) -> np.ndarray:
     """[N] uint8 codes (0..3) -> [ceil(N/4)] uint8 (code j in bits 2*(j%4))."""
@@ -262,7 +264,10 @@ def _select_extend_core(
     min_suf = jnp.min(jnp.where(neq_mask, sufv, big), axis=1)
     full = full & ((neq == 0) | ((min_pref > 0) & (min_suf > 0)))
 
-    # --- pack outputs (3 arrays -> one relay fetch) --------------------------
+    # --- pack outputs: a small HOT payload fetched every flush + a COLD
+    # payload (delegation coordinates: gapped primaries, supplementary
+    # segments) fetched only when the flags show such rows exist. Through
+    # the relay D2H moves ~10 MB/s, so hot bytes are a first-order cost.
     flags = (
         has_prim.astype(jnp.int32) * F_HAS
         | diag_ok.astype(jnp.int32) * F_DIAG
@@ -272,28 +277,46 @@ def _select_extend_core(
     )
     for s, so in enumerate(sup_out):
         flags = flags | so["found"].astype(jnp.int32) * (F_SUP0 << s)
-    ints = [
-        end_d,
-        ci,
-        (w0 - c_start),
-        flags,
-        prim_qs,
-        prim_qe,
-        prim_rs,
-        prim_re,
-    ]
-    for so in sup_out:
-        ints += [so["strand"], so["qs"], so["qe"], so["rs"], so["re"]]
-    flts = [prim_score, s2, ext_score] + [so["score"] for so in sup_out]
+    hot = jnp.stack(
+        [(w0 - c_start), ci, flags | (end_d << 8)], axis=1
+    ).astype(jnp.int32)
+    flts = jnp.stack([prim_score, s2], axis=1)
     # mismatch bitmask packed big-endian to match np.unpackbits on the host
     bits = neq_mask.reshape(p, lmax // 8, 8).astype(jnp.uint8)
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
     neq_pack = (bits * weights[None, None, :]).sum(axis=2).astype(jnp.uint8)
-    return (
-        jnp.stack(ints, axis=1).astype(jnp.int32),
-        jnp.stack(flts, axis=1),
-        neq_pack,
+    cold_ints = [prim_qs, prim_qe, prim_rs, prim_re]
+    for so in sup_out:
+        cold_ints += [so["strand"], so["qs"], so["qe"], so["rs"], so["re"]]
+    cold_i = jnp.stack(cold_ints, axis=1).astype(jnp.int32)
+    cold_f = (
+        jnp.stack([so["score"] for so in sup_out], axis=1)
+        if sup_out
+        else jnp.zeros((p, 0), jnp.float32)
     )
+    return hot, flts, neq_pack, (cold_i, cold_f)
+
+
+def _compact_cold(hot, cold_i, cold_f):
+    """Compact the needed cold rows (gapped primary OR any supplementary,
+    read from the hot flag word) into COLD_CAP slots shipped WITH the hot
+    fetch: the rare delegation rows then cost zero extra round trips.
+    Overflow (> COLD_CAP needed rows) is detected on host from the flags and
+    falls back to fetching the full cold arrays. Single-device only — a
+    per-shard cumsum would misnumber ranks on a mesh."""
+    flags = hot[:, 2]
+    sup_bits = ~jnp.int32(F_SUP0 - 1)  # any bit >= F_SUP0
+    gapped = ((flags & F_HAS) != 0) & ((flags & F_DIAG) == 0)
+    need = gapped | ((flags & (0xFF & sup_bits)) != 0)
+    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    pos = jnp.where(need & (rank < COLD_CAP), rank, COLD_CAP)
+    ci = jnp.zeros((COLD_CAP, cold_i.shape[1]), jnp.int32).at[pos].set(
+        cold_i, mode="drop"
+    )
+    cf = jnp.zeros((COLD_CAP, cold_f.shape[1]), jnp.float32).at[pos].set(
+        cold_f, mode="drop"
+    )
+    return ci, cf
 
 
 @functools.partial(
@@ -323,14 +346,17 @@ def select_extend(
     max_segments: int,
 ):
     """Single-device fused selection + extension over per-bucket chain
-    results (device arrays from ops.chain — never fetched)."""
-    return _select_extend_core(
+    results (device arrays from ops.chain — never fetched). Returns
+    (hot, flts, neq_pack, cold_compact, cold_full); callers fetch the first
+    four together and cold_full only on compaction overflow."""
+    hot, flts, neq_pack, cold = _select_extend_core(
         _flatten_chains(chains),
         cand_map, pair_base, pair_reflen, q_pack2, q_len, pool_pack,
         cst, clen,
         lmax=lmax, wlen=wlen, half=half, scoring=scoring,
         min_cnt=min_cnt, min_score=min_score, max_segments=max_segments,
     )
+    return hot, flts, neq_pack, _compact_cold(hot, *cold), cold
 
 
 def dist_select_extend(
@@ -399,6 +425,7 @@ def dist_select_extend(
             P(AXIS_QUERY, None),
             P(AXIS_QUERY, None),
             P(AXIS_QUERY, None),
+            (P(AXIS_QUERY, None), P(AXIS_QUERY, None)),
         ),
     )(tuple(chains), cand_map, pair_base, pair_reflen, q_pack2, q_len,
       pool_pack, cst, clen)

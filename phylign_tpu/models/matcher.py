@@ -20,6 +20,7 @@ from phylign_tpu.io.cobs import DeviceIndex
 from phylign_tpu.kmer import cobs_row_indices, encode_seq
 from phylign_tpu.ops.match import (
     match_scores,
+    match_scores_xla,
     pack_row_indices,
     pad_device_words,
     round_up,
@@ -397,6 +398,191 @@ class Matcher:
                 hits[q].sort(key=lambda t: (-t[1], t[0]))
                 n_keep[q] = len(hits[q])  # keep header count == emitted set
         return hits, n_keep.astype(np.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _acc_chunk_scores(acc: jax.Array, words: jax.Array, row_idx: jax.Array):
+    """acc += this row-block's partial scores (donated: in-place on device)."""
+    return acc + match_scores_xla(words, row_idx)
+
+
+@dataclass
+class ChunkedMatcher:
+    """Row-chunked match model: scores an index LARGER than the HBM budget.
+
+    The largest real batch decompresses to 10.59 GB
+    (ref: /root/reference/data/decompressed_indexes_sizes.txt,
+    pseudomonas_aeruginosa__01) while the reference's minimum RAM budget —
+    and this build's default ``device_hbm_gb`` — is 12 GB
+    (ref: /root/reference/README.md:94-95, config.yaml:58): a resident
+    upload would evict every concurrent align buffer or OOM outright.
+
+    Instead the signature rows stream through the device in fixed blocks:
+    each query k-mer row index is remapped into the current block (or to the
+    block's zero padding row when it falls outside), the block is scored
+    with the SAME gather/popcount kernel, and per-(query, doc) scores
+    accumulate on device across blocks. Bit-exact vs Matcher for
+    num_hashes == 1 (the 661k DB's value, docs/cobs_format.md) because a
+    1-hash score is a plain sum over k-mer rows; multi-hash indexes need
+    the AND of rows that may straddle blocks and must use Matcher.
+
+    The upload streams the whole index once per query super-pass, so
+    ``queries_per_pass`` is sized to score every read of a run in as few
+    passes as the [Q, D] score accumulator allows (default 256 MB).
+    """
+
+    term_size: int
+    num_hashes: int
+    signature_size: int
+    doc_names: list[str]
+    words_host: np.ndarray  # uint32 [S, W] on HOST (array or memmap)
+    row_chunk: int  # signature rows per device block
+    acc_budget_bytes: int = 256 << 20
+
+    def __post_init__(self):
+        if self.num_hashes != 1:
+            raise ValueError(
+                "ChunkedMatcher requires num_hashes == 1 (a multi-hash "
+                "k-mer ANDs rows that may straddle row blocks); "
+                f"got {self.num_hashes}. Use Matcher."
+            )
+
+    @classmethod
+    def from_device_index(
+        cls, didx: DeviceIndex, hbm_budget_mb: int, **kw
+    ) -> "ChunkedMatcher":
+        """Size row blocks so block + accumulator + double-buffer margin fit
+        the given budget."""
+        w = max(1, didx.num_words)
+        acc = kw.get("acc_budget_bytes", 256 << 20)
+        usable = max(64 << 20, hbm_budget_mb * 1_000_000 - acc)
+        rows = max(1024, int(usable // 2 // (w * 4)))  # 2 blocks in flight
+        return cls(
+            term_size=didx.term_size,
+            num_hashes=didx.num_hashes,
+            signature_size=didx.signature_size,
+            doc_names=didx.doc_names,
+            words_host=np.asarray(didx.words),
+            row_chunk=min(rows, didx.signature_size),
+            **kw,
+        )
+
+    @property
+    def pad_row(self) -> int:
+        """GLOBAL padding sentinel: outside every block's [r0, r1) range, so
+        padding slots always remap to the block's zero row. (The block-local
+        pad row is ``row_chunk``; a small global value like it would collide
+        with real row numbers.)"""
+        return 1 << 30
+
+    def _score_pass(self, packed: np.ndarray) -> jax.Array:
+        """Accumulated scores [Q, 32*W] for one query super-pass (device)."""
+        s, w = self.words_host.shape
+        q = packed.shape[0]
+        acc = jnp.zeros((q, 32 * w), jnp.int32)
+        idx2 = packed.reshape(q, -1)  # [Q, K*H] int32 global rows
+        pending = None  # (dev_words, dev_idx) double buffer
+        for r0 in range(0, s, self.row_chunk):
+            r1 = min(r0 + self.row_chunk, s)
+            block = np.zeros((self.row_chunk + 1, w), np.uint32)
+            block[: r1 - r0] = self.words_host[r0:r1]
+            # rows outside this block -> the block's zero padding row
+            loc = idx2 - r0
+            loc = np.where((idx2 >= r0) & (idx2 < r1), loc, self.row_chunk)
+            up = jax.device_put((block, loc.astype(np.int32)))
+            if pending is not None:
+                acc = _acc_chunk_scores(acc, *pending)
+            pending = up
+        if pending is not None:
+            acc = _acc_chunk_scores(acc, *pending)
+        return acc
+
+    def score_rows(
+        self, per_query: list[np.ndarray], threshold: float, k_max: int = 512
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Matcher.score_rows semantics (full [Q, D] scores on host)."""
+        d = len(self.doc_names)
+        n_kmers = np.array([r.shape[0] for r in per_query], np.int32)
+        kp = round_up(max((r.shape[0] for r in per_query), default=1), 64)
+        packed, _ = pack_row_indices(
+            per_query, max(kp, 1), self.pad_row, self.num_hashes
+        )
+        scores = np.asarray(self._score_pass(packed))[:, :d].astype(np.int32)
+        keep = (scores >= threshold * np.maximum(n_kmers, 1)[:, None]) & (
+            n_kmers[:, None] > 0
+        )
+        return scores, keep, n_kmers
+
+    def score_hits(
+        self, seqs: list[bytes], threshold: float, topn: int, k_max: int = 512
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """Matcher.score_hits contract (same dedup, same top-k window +
+        tie-overflow refetch), with the index streamed in row blocks."""
+        all_rows = [
+            cobs_row_indices(
+                encode_seq(s), self.term_size, self.signature_size, self.num_hashes
+            )
+            for s in seqs
+        ]
+        rep_of, per_query = _dedup_row_sets(all_rows)
+        hits_u, n_keep_u = self._score_hits_unique(per_query, threshold, topn)
+        if len(per_query) < len(all_rows):
+            return (
+                [hits_u[j] for j in rep_of],
+                np.asarray([n_keep_u[j] for j in rep_of], np.int32),
+            )
+        return hits_u, n_keep_u
+
+    def _score_hits_unique(
+        self, per_query: list[np.ndarray], threshold: float, topn: int
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        d = len(self.doc_names)
+        n_kmers_all = np.array([r.shape[0] for r in per_query], np.int32)
+        w = max(1, self.words_host.shape[1])
+        q_pass = max(64, int(self.acc_budget_bytes // (32 * w * 4)))
+        hits: list[list[tuple[int, int]]] = []
+        n_keep_out: list[int] = []
+        for off in range(0, len(per_query), q_pass):
+            part = per_query[off : off + q_pass]
+            n_kmers = n_kmers_all[off : off + q_pass]
+            kp = round_up(max((r.shape[0] for r in part), default=1), 64)
+            packed, _ = pack_row_indices(
+                part, max(kp, 1), self.pad_row, self.num_hashes
+            )
+            acc = self._score_pass(packed)
+            if d == 0 or d > 65535:
+                scores = np.asarray(acc)[:, :d].astype(np.int32)
+                keep = (
+                    scores >= threshold * np.maximum(n_kmers, 1)[:, None]
+                ) & (n_kmers[:, None] > 0)
+                hits.extend(_hits_from_full(scores, keep))
+                n_keep_out.extend(keep.sum(axis=1).astype(int).tolist())
+                continue
+            kk = min(d, round_up(min(topn + 33, d), 32))
+            vals, idx, n_keep = jax.device_get(
+                _topk_scores(
+                    acc, jnp.asarray(_int_cut(threshold, n_kmers)), kk, d
+                )
+            )
+            scores_full = None
+            for qi in range(len(part)):
+                m = int(n_keep[qi])
+                if m > kk:  # tie overflow: read this query's full row
+                    if scores_full is None:
+                        scores_full = np.asarray(acc)[:, :d]
+                    row = scores_full[qi]
+                    cut = int(_int_cut(threshold, n_kmers[qi : qi + 1])[0])
+                    docs = np.nonzero(row >= cut)[0]
+                    hl = [(int(dd), int(row[dd])) for dd in docs]
+                    hl.sort(key=lambda t: (-t[1], t[0]))
+                    hits.append(hl)
+                    n_keep_out.append(len(hl))
+                    continue
+                hits.append(
+                    [(int(idx[qi, j]), int(vals[qi, j])) for j in range(m)]
+                )
+                n_keep_out.append(m)
+        return hits, np.asarray(n_keep_out, np.int32)
 
 
 def _dedup_row_sets(

@@ -51,7 +51,7 @@ def get_lib() -> ctypes.CDLL | None:
     # raising here would take down every native caller instead of falling
     # back to the numpy paths
     try:
-        lib.filter_topk_rows
+        lib.anchors_fill
     except AttributeError:
         try:  # force a rebuild even if make thinks the .so is fresh
             _LIB_PATH.unlink()
@@ -62,7 +62,7 @@ def get_lib() -> ctypes.CDLL | None:
             return None
         lib = ctypes.CDLL(str(_LIB_PATH))
         try:
-            lib.filter_topk_rows
+            lib.anchors_fill
         except AttributeError:
             log.warning("rebuilt libhostio.so still stale; using numpy")
             return None
@@ -117,6 +117,28 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32),
+    ]
+
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _u64p = ctypes.POINTER(ctypes.c_uint64)
+    _u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.anchors_count.restype = ctypes.c_int64
+    lib.anchors_count.argtypes = [
+        _u64p, _i64p, _i64p, ctypes.c_int64,  # uh, us, ucnt, n_uniq
+        _u8p,  # sort_strand
+        _u64p, _u8p, _i64p, ctypes.c_int64,  # qh, qstrand, qoff, n_queries
+        ctypes.c_int64,  # max_occ
+        _i64p, _i32p, _i32p, _i64p,  # m_lo, m_np, m_nm, gcount
+    ]
+    lib.anchors_fill.restype = None
+    lib.anchors_fill.argtypes = [
+        _i32p, _u8p,  # sort_pos, sort_strand
+        _i64p, _u8p, _i64p, _i64p, ctypes.c_int64,  # qpos, qstrand, qoff, qlen, n_queries
+        ctypes.c_int32,  # k
+        _i64p, _i32p, _i32p,  # m_lo, m_np, m_nm
+        _i64p,  # bounds
+        _i32p, _i32p,  # out_rpos, out_qpos
     ]
 
     lib.filter_topk_rows.restype = ctypes.c_int64
@@ -255,6 +277,75 @@ def native_parse_match_text(data: bytes) -> "ParsedMatchFile | None":
         data[a_off[i] : a_off[i] + a_len[i]].decode() for i in range(nacc)
     ]
     return ParsedMatchFile(qnames, q_tot, q_end, acc_id, score, accs)
+
+
+def native_collect_anchors(
+    uh: np.ndarray,
+    us: np.ndarray,
+    ucnt: np.ndarray,
+    sort_pos: np.ndarray,
+    sort_strand: np.ndarray,
+    qh: np.ndarray,
+    qpos: np.ndarray,
+    qstrand: np.ndarray,
+    qoff: np.ndarray,
+    qlen: np.ndarray,
+    max_occ: int,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Seed-anchor collection for a query batch against one ref table.
+
+    Returns (rpos i32[T], qpos i32[T], bounds i64[2Q+1]) with anchors of
+    group g = 2*query + rel_strand in rows bounds[g]:bounds[g+1], sorted by
+    (rpos, qpos) — byte-identical to the numpy path in
+    ops.minimizer.collect_anchors_batch. None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nq = len(qlen)
+    nm = qh.shape[0]
+    uh = np.ascontiguousarray(uh, np.uint64)
+    us = np.ascontiguousarray(us, np.int64)
+    ucnt = np.ascontiguousarray(ucnt, np.int64)
+    sort_pos = np.ascontiguousarray(sort_pos, np.int32)
+    sort_strand = np.ascontiguousarray(sort_strand, np.uint8)
+    qh = np.ascontiguousarray(qh, np.uint64)
+    qpos = np.ascontiguousarray(qpos, np.int64)
+    qstrand = np.ascontiguousarray(qstrand, np.uint8)
+    qoff = np.ascontiguousarray(qoff, np.int64)
+    qlen64 = np.ascontiguousarray(qlen, np.int64)
+
+    m_lo = np.empty(nm, np.int64)
+    m_np = np.empty(nm, np.int32)
+    m_nm = np.empty(nm, np.int32)
+    gcount = np.zeros(2 * nq, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    total = lib.anchors_count(
+        p(uh, ctypes.c_uint64), p(us, ctypes.c_int64), p(ucnt, ctypes.c_int64),
+        len(uh), _u8ptr(sort_strand),
+        p(qh, ctypes.c_uint64), _u8ptr(qstrand), p(qoff, ctypes.c_int64), nq,
+        int(max_occ),
+        p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
+        p(m_nm, ctypes.c_int32), p(gcount, ctypes.c_int64),
+    )
+    bounds = np.zeros(2 * nq + 1, np.int64)
+    np.cumsum(gcount, out=bounds[1:])
+    out_rpos = np.empty(total, np.int32)
+    out_qpos = np.empty(total, np.int32)
+    if total:
+        lib.anchors_fill(
+            p(sort_pos, ctypes.c_int32), _u8ptr(sort_strand),
+            p(qpos, ctypes.c_int64), _u8ptr(qstrand),
+            p(qoff, ctypes.c_int64), p(qlen64, ctypes.c_int64), nq,
+            int(k),
+            p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
+            p(m_nm, ctypes.c_int32), p(bounds, ctypes.c_int64),
+            p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
+        )
+    return out_rpos, out_qpos, bounds
 
 
 def native_filter_topk_rows(q, score, brank, arank, smax, keep):

@@ -334,6 +334,101 @@ int64_t parse_match_text(const uint8_t* buf, int64_t n,
   return nacc;
 }
 
+// ----------------------------------------------------------- seed anchoring
+
+// Anchor collection (minimap2 seeding, ops/minimizer.py collect_anchors_batch
+// semantics): look up each query minimizer in the ref's unique sorted hash
+// table, expand its occurrences (dropped when count == 0 or > max_occ),
+// split by relative strand, group rows by (query, strand) and sort each
+// group by (rpos, qpos). Two calls share the expensive binary-search pass:
+//
+//   anchors_count: per-minimizer (lo, n_plus, n_minus) into scratch arrays
+//                  + per-group counts; returns the total anchor count.
+//   anchors_fill:  consumes the scratch, writes flat (rpos, qpos) arrays
+//                  with bounds[2q+s] group offsets, sorted within groups.
+
+int64_t anchors_count(const uint64_t* uh, const int64_t* us,
+                      const int64_t* ucnt, int64_t n_uniq,
+                      const uint8_t* sort_strand,
+                      const uint64_t* qh, const uint8_t* qstrand,
+                      const int64_t* qoff, int64_t n_queries,
+                      int64_t max_occ,
+                      int64_t* m_lo, int32_t* m_np, int32_t* m_nm,
+                      int64_t* gcount /* [2*n_queries], zeroed by caller */) {
+  int64_t total = 0;
+  for (int64_t q = 0; q < n_queries; q++) {
+    for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
+      uint64_t h = qh[m];
+      const uint64_t* it = std::lower_bound(uh, uh + n_uniq, h);
+      int64_t np = 0, nm = 0, lo = 0;
+      if (it != uh + n_uniq && *it == h) {
+        int64_t u = it - uh;
+        int64_t cnt = ucnt[u];
+        if (cnt > 0 && cnt <= max_occ) {
+          lo = us[u];
+          uint8_t qs = qstrand[m];
+          for (int64_t o = lo; o < lo + cnt; o++) {
+            if (sort_strand[o] != qs) nm++;
+            else np++;
+          }
+        }
+      }
+      m_lo[m] = lo;
+      m_np[m] = np;
+      m_nm[m] = nm;
+      gcount[2 * q] += np;
+      gcount[2 * q + 1] += nm;
+      total += np + nm;
+    }
+  }
+  return total;
+}
+
+void anchors_fill(const int32_t* sort_pos, const uint8_t* sort_strand,
+                  const int64_t* qpos, const uint8_t* qstrand,
+                  const int64_t* qoff, const int64_t* qlen, int64_t n_queries,
+                  int32_t k,
+                  const int64_t* m_lo, const int32_t* m_np,
+                  const int32_t* m_nm,
+                  const int64_t* bounds /* [2*n_queries+1] prefix of gcount */,
+                  int32_t* out_rpos, int32_t* out_qpos) {
+  std::vector<int64_t> cur(2 * (size_t)n_queries);
+  for (int64_t g = 0; g < 2 * n_queries; g++) cur[g] = bounds[g];
+  for (int64_t q = 0; q < n_queries; q++) {
+    for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
+      int64_t cnt = m_np[m] + m_nm[m];
+      if (cnt == 0) continue;
+      uint8_t qs = qstrand[m];
+      int64_t qp_fwd = qpos[m];
+      int64_t qp_rev = qlen[q] - k - qpos[m];
+      for (int64_t o = m_lo[m]; o < m_lo[m] + cnt; o++) {
+        bool rel = sort_strand[o] != qs;
+        int64_t g = 2 * q + (rel ? 1 : 0);
+        int64_t at = cur[g]++;
+        out_rpos[at] = sort_pos[o];
+        out_qpos[at] = (int32_t)(rel ? qp_rev : qp_fwd);
+      }
+    }
+  }
+  // per-group (rpos, qpos) sort: pack into one u64 (both are non-negative
+  // int32s) so the sort is single-key
+  std::vector<uint64_t> keys;
+  for (int64_t g = 0; g < 2 * n_queries; g++) {
+    int64_t a = bounds[g], b = bounds[g + 1];
+    int64_t len = b - a;
+    if (len <= 1) continue;
+    keys.resize((size_t)len);
+    for (int64_t i = 0; i < len; i++)
+      keys[(size_t)i] = ((uint64_t)(uint32_t)out_rpos[a + i] << 32) |
+                        (uint64_t)(uint32_t)out_qpos[a + i];
+    std::sort(keys.begin(), keys.end());
+    for (int64_t i = 0; i < len; i++) {
+      out_rpos[a + i] = (int32_t)(keys[(size_t)i] >> 32);
+      out_qpos[a + i] = (int32_t)(keys[(size_t)i] & 0xFFFFFFFFu);
+    }
+  }
+}
+
 // ------------------------------------------------- global top-k filter core
 
 // The filter stage's hot core (ref: filter_queries.py:123-150): sort all

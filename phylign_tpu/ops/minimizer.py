@@ -218,7 +218,7 @@ def build_ref_index(
     )
 
 
-@dataclass
+@dataclass(slots=True)
 class Anchors:
     """Seed anchors of one (query, genome) pair, one strand set."""
 
@@ -251,6 +251,28 @@ def collect_anchors_batch(
     qlen_arr = np.asarray(q_lens, np.int64)
 
     uh, us, ucnt = ref.uniq_table()
+
+    from phylign_tpu import native
+
+    nat = native.native_collect_anchors(
+        uh, us, ucnt, ref.sort_pos, ref.sort_strand,
+        h, qp, qs, np.concatenate(([0], np.cumsum(sizes))), qlen_arr,
+        max_occ, ref.k,
+    )
+    if nat is not None:
+        rp_s, qp_s, bounds = nat
+        out = []
+        bl = bounds.tolist()
+        for q in range(nq):
+            sl_p = slice(bl[2 * q], bl[2 * q + 1])
+            sl_m = slice(bl[2 * q + 1], bl[2 * q + 2])
+            out.append(
+                (
+                    Anchors(rp_s[sl_p], qp_s[sl_p]),
+                    Anchors(rp_s[sl_m], qp_s[sl_m]),
+                )
+            )
+        return out
     pos = np.minimum(np.searchsorted(uh, h), len(uh) - 1)
     found = uh[pos] == h
     lo = us[pos]
@@ -274,10 +296,35 @@ def collect_anchors_batch(
     qpos_adj = np.where(
         rel, qlen_arr[a_qid] - ref.k - a_qpos, a_qpos
     ).astype(np.int32)
-    # group by (query, strand) then sort (rpos, qpos) within groups
+    # group by (query, strand) then sort (rpos, qpos) within groups.
+    # Fast path: pack (group 21b | rpos 27b | qpos 16b) into ONE u64 and
+    # radix-sort it — a single-key sort of N u64s runs ~3x faster than the
+    # 3-key lexsort and the fields decode back for free. Falls back to
+    # lexsort when any field exceeds its packed width (multi-hundred-Mb
+    # refs or >32kb reads).
     group = a_qid * 2 + rel
-    order = np.lexsort((qpos_adj, rp, group))
-    group_s, rp_s, qp_s = group[order], rp[order], qpos_adj[order]
+    rp64 = rp.astype(np.int64)
+    if (
+        len(rp) > 0
+        and 2 * nq <= 1 << 21
+        and int(rp64.max()) < 1 << 27
+        and int(qpos_adj.max(initial=0)) < 1 << 16
+        and int(qpos_adj.min(initial=0)) >= 0
+    ):
+        key = (
+            (group.astype(np.uint64) << np.uint64(43))
+            | (rp64.astype(np.uint64) << np.uint64(16))
+            | qpos_adj.astype(np.uint64)
+        )
+        key.sort()
+        group_s = (key >> np.uint64(43)).astype(np.int64)
+        rp_s = ((key >> np.uint64(16)) & np.uint64((1 << 27) - 1)).astype(
+            np.int32
+        )
+        qp_s = (key & np.uint64(0xFFFF)).astype(np.int32)
+    else:
+        order = np.lexsort((qpos_adj, rp, group))
+        group_s, rp_s, qp_s = group[order], rp[order], qpos_adj[order]
     bounds = np.searchsorted(group_s, np.arange(2 * nq + 1))
     out = []
     bl = bounds.tolist()

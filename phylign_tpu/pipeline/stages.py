@@ -161,6 +161,9 @@ class Pipeline:
         if cache_mb > 0:
             self.sched.hbm.acquire(cache_mb)  # carve the budget out once
             self._index_cache = _IndexCache(cache_mb)
+        # capacity left for transient (non-cached) index uploads; indexes
+        # that cannot fit here with align headroom stream row-chunked
+        self._hbm_transient_mb = int(config.device_hbm_gb * 1024) - cache_mb
 
     def mesh(self):
         """The device mesh for sharded matching, or None for single-chip
@@ -321,6 +324,15 @@ class Pipeline:
 
         mesh = self.mesh()
         hbm_mb = max(1, device_index_bytes(didx, mesh=mesh) // 1_000_000)
+        # an index too big to sit resident next to the align stage's device
+        # buffers streams row-chunked through the device instead (exact for
+        # the 661k DB's 1-hash indexes; ref: the 10.59 GB pseudomonas batch
+        # in /root/reference/data/decompressed_indexes_sizes.txt vs the 12 GB
+        # minimum RAM the reference documents, README.md:94-95)
+        align_reserve_mb = 1536  # two 640 MB flush slots + margin
+        chunk_budget = max(256, self._hbm_transient_mb - align_reserve_mb)
+        if mesh is None and didx.num_hashes == 1 and hbm_mb > chunk_budget:
+            return self._score_batch_chunked(didx, records, chunk_budget)
         key = matcher = None
         if self._index_cache is not None and hbm_mb <= self._index_cache.budget:
             key = (
@@ -358,6 +370,43 @@ class Pipeline:
                 if key is not None and self._index_cache.put(key, matcher, hbm_mb):
                     pass  # ownership moved to the cache's carved-out budget
                 self.sched.hbm.release(hbm_mb)
+        return matches
+
+    def _score_batch_chunked(
+        self,
+        didx: cobs_io.DeviceIndex,
+        records: list[FastxRecord],
+        budget_mb: int,
+    ) -> list[QueryMatches]:
+        """Score one OVERSIZED batch by streaming signature-row blocks
+        (models.matcher.ChunkedMatcher): the index never sits resident, so
+        align flushes of other batches keep their HBM headroom. The whole
+        index streams once per query super-pass, so every query scores in
+        ONE call rather than device_query_chunk slices."""
+        from phylign_tpu.models.matcher import ChunkedMatcher
+
+        log.info(
+            "index %s exceeds the transient HBM budget (%d MB): "
+            "row-chunked scoring",
+            didx.doc_names[0] if didx.doc_names else "?", budget_mb,
+        )
+        cm = ChunkedMatcher.from_device_index(didx, hbm_budget_mb=budget_mb)
+        names = np.asarray(didx.doc_names)
+        matches: list[QueryMatches] = []
+        self.sched.hbm.acquire(budget_mb)
+        try:
+            with self.sched.device_lock:
+                hit_lists, n_keep = cm.score_hits(
+                    [r.seq.encode() for r in records],
+                    self.cfg.cobs_kmer_thres,
+                    self.cfg.nb_best_hits,
+                )
+        finally:
+            self.sched.hbm.release(budget_mb)
+        for i, rec in enumerate(records):
+            hits = [(str(names[di]), sc) for di, sc in hit_lists[i]]
+            hits.sort(key=lambda x: (-x[1], x[0]))
+            matches.append(QueryMatches(rec.name, int(n_keep[i]), hits))
         return matches
 
     @staticmethod

@@ -77,17 +77,19 @@ print(f"[{MODE}] best warm: {N_READS/best:.0f} pairs/s ({best:.2f}s)")
 
 if PIPE:
     # steady state: M pools through the production one-deep flush pipeline
+    # (single-threaded dispatch-ahead: pool i+1's anchor collection runs
+    # while pool i's device program computes — align_batch's structure)
     M = 6
     t0 = time.perf_counter()
     done = 0
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        pending = None
-        for _ in range(M):
-            pairs = ae.make_pairs_batch(ref, sks, params)
-            if pending is not None:
-                done += len(pending.result())
-            pending = ex.submit(ae.flush_pairs, pairs, params, None, FUSED)
-        done += len(pending.result())
+    pending = None
+    for _ in range(M):
+        pairs = ae.make_pairs_batch(ref, sks, params)
+        nxt = ae.flush_pairs_begin(pairs, params, fused=FUSED)
+        if pending is not None:
+            done += len(ae.flush_pairs_end(pending))
+        pending = nxt
+    done += len(ae.flush_pairs_end(pending))
     dt = time.perf_counter() - t0
     print(
         f"[{MODE}] pipelined steady state: {M*N_READS/dt:.0f} pairs/s "

@@ -81,3 +81,58 @@ class TestNativeParity:
             assert nat.get_lib() is None
         finally:
             nat._lib = old
+
+
+class TestNativeAnchors:
+    def test_collect_anchors_matches_numpy(self):
+        """Native anchors_count/anchors_fill vs the numpy path of
+        collect_anchors_batch: identical flat anchors for every
+        (query, strand) group, including max_occ drops and rc reads."""
+        import phylign_tpu.native as nat
+
+        if nat.get_lib() is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        import os
+
+        from phylign_tpu.align.engine import AlignParams, QuerySketch
+        from phylign_tpu.kmer import decode_seq
+        from phylign_tpu.ops import minimizer as opm
+
+        rng = np.random.default_rng(31)
+        params = AlignParams.from_preset("sr")
+        g = rng.integers(0, 4, 200_000).astype(np.uint8)
+        # plant a repeat so max_occ dropping triggers
+        rep = g[1000:1400]
+        g2 = np.concatenate([g] + [rep] * 60)
+        ref = opm.build_ref_index(
+            "r", [("c1", g2[:150_000]), ("c2", g2[150_000:])],
+            params.k, params.w,
+        )
+        sks = []
+        for i in range(80):
+            s = rng.integers(0, len(g2) - 150)
+            r = g2[s : s + 150].copy()
+            if i % 2:
+                r = (3 - r)[::-1].copy()
+            sks.append(
+                QuerySketch.make(f"q{i}", decode_seq(r).decode(), params)
+            )
+        args = (
+            ref, [s.mh for s in sks], [s.mp for s in sks],
+            [s.ms for s in sks], [len(s.codes) for s in sks], params.max_occ,
+        )
+        got = opm.collect_anchors_batch(*args)
+        os.environ["PHYLIGN_TPU_NO_NATIVE"] = "1"
+        nat._lib = None
+        try:
+            want = opm.collect_anchors_batch(*args)
+        finally:
+            del os.environ["PHYLIGN_TPU_NO_NATIVE"]
+            nat._lib = None
+        for (gp, gm), (wp, wm) in zip(got, want):
+            np.testing.assert_array_equal(gp.rpos, wp.rpos)
+            np.testing.assert_array_equal(gp.qpos, wp.qpos)
+            np.testing.assert_array_equal(gm.rpos, wm.rpos)
+            np.testing.assert_array_equal(gm.qpos, wm.qpos)
