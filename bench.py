@@ -174,6 +174,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from phylign_tpu.utils.platform import ensure_backend
+
+    # tolerate plugin platform-name drift (axon -> tpu) but NEVER record a
+    # silent-CPU-fallback run as a TPU benchmark number
+    ensure_backend(allow_cpu=False)
     if "--e2e" in sys.argv:
         e2e_main()
     else:

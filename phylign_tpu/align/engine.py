@@ -50,8 +50,23 @@ class AlignParams:
     band: int = 128  # extension band width (diagonal drift allowance)
     hpc: bool = False  # homopolymer-compressed sketching (map-pb -H)
     scoring: ope.SrScoring = field(default_factory=ope.SrScoring)
-    max_occ: int = 50  # high-frequency seed filter
+    # high-frequency seed filter (minimap2's mid_occ): seeds with more ref
+    # occurrences than the cap are dropped from seeding and counted toward
+    # the query's repeat length (rl:i). The sr preset pins the cap at 1000;
+    # 0 means derive it per genome from the minimizer-frequency quantile
+    # (mm_idx_cal_max_occ with mid_occ_frac, clamped to
+    # [min_mid_occ, max_mid_occ]) the way minimap2 does for other presets.
+    mid_occ: int = 1000
+    mid_occ_frac: float = 2e-4
+    min_mid_occ: int = 10
+    max_mid_occ: int = 1_000_000
     max_segments: int = 3  # split-read cap: primary + (max_segments-1) supps
+
+    def occ_cap(self, ref: "opm.RefIndex") -> int:
+        """Effective occurrence cap against one genome."""
+        if self.mid_occ > 0:
+            return self.mid_occ
+        return ref.mid_occ(self.mid_occ_frac, self.min_mid_occ, self.max_mid_occ)
 
     @classmethod
     def from_preset(cls, preset: str, extra_params: str = "") -> "AlignParams":
@@ -93,6 +108,9 @@ class AlignParams:
             # 128-lane register. Multiples of 128 for TPU lane alignment.
             band=128 if preset == "sr" else 512,
             hpc=(preset == "map-pb"),
+            # minimap2 pins mid_occ = 1000 in the sr preset; the others
+            # leave it unset and derive it from the index frequency quantile
+            mid_occ=1000 if preset == "sr" else 0,
             scoring=ope.SrScoring(
                 match=m, mismatch=x,
                 gap_open1=o1, gap_ext1=e1, gap_open2=o2, gap_ext2=e2,
@@ -438,28 +456,32 @@ class PairTask:
     ref: opm.RefIndex
     plus: opm.Anchors
     minus: opm.Anchors
+    rep_len: int = 0  # query bases under dropped high-occ seeds (rl:i)
 
 
 def make_pair(ref: opm.RefIndex, sk: QuerySketch, params: AlignParams) -> PairTask:
-    plus, minus = opm.collect_anchors(
-        ref, sk.mh, sk.mp, sk.ms, len(sk.codes), params.max_occ
+    plus, minus, rep = opm.collect_anchors(
+        ref, sk.mh, sk.mp, sk.ms, len(sk.codes), params.occ_cap(ref)
     )
-    return PairTask(sk, ref, plus, minus)
+    return PairTask(sk, ref, plus, minus, rep)
 
 
 def make_pairs_batch(
     ref: opm.RefIndex, sks: list[QuerySketch], params: AlignParams
 ) -> list[PairTask]:
     """Vectorized anchor collection for all of one genome's queries."""
-    per_q = opm.collect_anchors_batch(
+    per_q, rep = opm.collect_anchors_batch(
         ref,
         [sk.mh for sk in sks],
         [sk.mp for sk in sks],
         [sk.ms for sk in sks],
         [len(sk.codes) for sk in sks],
-        params.max_occ,
+        params.occ_cap(ref),
     )
-    return [PairTask(sk, ref, p, m) for sk, (p, m) in zip(sks, per_q)]
+    return [
+        PairTask(sk, ref, p, m, int(r))
+        for sk, (p, m), r in zip(sks, per_q, rep)
+    ]
 
 
 MAX_EXT_CELLS = 1 << 20  # bound on P * L at band 128 (plane ~512 MB);
@@ -535,7 +557,7 @@ def _extend_dispatch(
     """Banded extension for one length-bucketed chunk of chained pairs:
     build the host windows and DISPATCH the score-only device pass (async).
     items: [((task idx, segment idx — 0 primary, >0 supplementary),
-    (score, strand, qs, qe, rs, re, s2))].
+    (score, strand, qs, qe, rs, re, s2, cnt))].
 
     The full chunk runs two device passes: this score-only pass for
     everything, then (in _extend_finish) a traceback-plane pass ONLY for
@@ -560,7 +582,7 @@ def _extend_dispatch(
     qs_arr = np.fromiter((it[1][2] for it in items), np.int64, count=n)
     by_ref: dict[int, list[int]] = {}
     code_parts: list[np.ndarray] = []
-    for i, ((ti, _seg), (sc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+    for i, ((ti, _seg), (sc, strand, qs, qe, rs, re, s2, _cnt)) in enumerate(items):
         t = tasks[ti]
         code_parts.append(t.sketch.rc_codes if strand else t.sketch.codes)
         ref_of.append(t.ref)
@@ -763,7 +785,7 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
     full_l = full.tolist()
     best_l = best.tolist()
     neq_l = neq_all.tolist()
-    for i, ((ti, seg), (csc, strand, qs, qe, rs, re, s2)) in enumerate(items):
+    for i, ((ti, seg), (csc, strand, qs, qe, rs, re, s2, cnt)) in enumerate(items):
         if i not in cigars:
             continue
         t = tasks[ti]
@@ -819,11 +841,11 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
                 f"AS:i:{int(dp_score)}",
                 "nn:i:0",
                 "tp:A:P",
-                f"cm:i:{int(csc / params.k)}",
+                f"cm:i:{int(cnt)}",
                 f"s1:i:{int(csc)}",
                 f"s2:i:{int(s2)}",
                 f"de:f:{de}",
-                "rl:i:0",
+                f"rl:i:{t.rep_len}",
             ],
         )
     return records
@@ -926,7 +948,7 @@ def flush_pairs_host(
             # one candidate (the common sr case): it is the primary, its
             # only competitor score is the device's same-strand alt
             prim = cl[0]
-            chained.append(((ti, 0), prim[:6] + (prim[7],)))
+            chained.append(((ti, 0), prim[:6] + (prim[7], prim[6])))
             continue
         cl.sort(key=lambda c: (-c[0], c[1], c[2]))
         prim = cl[0]
@@ -938,13 +960,13 @@ def flush_pairs_host(
             [c[0] for c in rest if _qov(c, prim) >= 0.5] + [prim[7]],
             default=0.0,
         )
-        chained.append(((ti, 0), prim[:6] + (s2,)))
+        chained.append(((ti, 0), prim[:6] + (s2, prim[6])))
         picked = [prim]
         for c in rest:
             if len(picked) >= params.max_segments:
                 break
             if all(_qov(c, p) < 0.5 for p in picked):
-                chained.append(((ti, len(picked)), c[:6] + (0.0,)))
+                chained.append(((ti, len(picked)), c[:6] + (0.0, c[6])))
                 picked.append(c)
 
     records = _extend_items(tasks, chained, params, mesh)
@@ -1205,8 +1227,10 @@ def _fused_finish(
     strand_a = ((flags & fz.F_STRAND) != 0).astype(np.int64)
     rel0 = hot[:n, 0]
     ci_a = hot[:n, 1]
+    prim_cnt = hot[:n, 3]
     prim_score = flts[:n, 0]
     s2_a = flts[:n, 1]
+    rep_a = [tasks[ti].rep_len for ti in tis]
     q_len = np.fromiter(
         (len(tasks[ti].sketch.codes) for ti in tis), np.int64, count=n
     )
@@ -1242,13 +1266,13 @@ def _fused_finish(
                         float(prim_score[i]), int(strand_a[i]),
                         int(cold_i[i, 0]), int(cold_i[i, 1]),
                         int(cold_i[i, 2]), int(cold_i[i, 3]),
-                        float(s2_a[i]),
+                        float(s2_a[i]), int(prim_cnt[i]),
                     ),
                 )
             )
         for s in range(n_sup):
             found = (flags & (fz.F_SUP0 << s)) != 0
-            base_c = 4 + 5 * s
+            base_c = 4 + 6 * s
             for i in np.flatnonzero(found).tolist():
                 delegated.append(
                     (
@@ -1259,7 +1283,7 @@ def _fused_finish(
                             int(cold_i[i, base_c + 2]),
                             int(cold_i[i, base_c + 3]),
                             int(cold_i[i, base_c + 4]),
-                            0.0,
+                            0.0, int(cold_i[i, base_c + 5]),
                         ),
                     ),
                 )
@@ -1281,15 +1305,16 @@ def _fused_finish(
     dp_v = m_s * (q_len - neq_cnt) - x_s * neq_cnt
     de_v = np.round(neq_cnt / np.maximum(1, q_len), 4)
     # float64 throughout so boundary truncations match the python-scalar
-    # path bit-for-bit (s2/s1 and csc/k in f32 round differently)
-    s1_f64 = prim_score.astype(np.float64)
+    # path bit-for-bit (s2/s1 in f32 round differently); scores are clipped
+    # before int casts — inactive rows carry the -1e30 sentinel
+    s1_f64 = np.clip(prim_score.astype(np.float64), -(2.0**62), 2.0**62)
     s2_f64 = s2_a.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.clip(1.0 - s2_f64 / np.where(s1_f64 == 0, 1, s1_f64), 0.0, 1.0)
     mapq_v = np.clip((60 * ratio).astype(np.int64), 0, 60)
     mapq_v[prim_score <= 0] = 0
-    cm_v = (s1_f64 / params.k).astype(np.int64)
-    s1_v = prim_score.astype(np.int64)
+    cm_v = prim_cnt.astype(np.int64)
+    s1_v = s1_f64.astype(np.int64)
     s2i_v = s2_a.astype(np.int64)
     pos_v = rel0 + end_d + 1  # full rows: lead_r == 0
 
@@ -1352,7 +1377,7 @@ def _fused_finish(
             pos = rel0_l[i] + end_l[i] + lead_r + 1
             dp_score = int(dp_score)
             mapq = _mapq(sc_l[i], s2_l[i])
-            cm, s1i, s2i = int(sc_l[i] / params.k), int(sc_l[i]), int(s2_l[i])
+            cm, s1i, s2i = cm_l[i], int(sc_l[i]), int(s2_l[i])
         ti = tis[i]
         sk = tasks[ti].sketch
         strand = strand_l[i]
@@ -1374,7 +1399,7 @@ def _fused_finish(
                 f"s1:i:{s1i}",
                 f"s2:i:{s2i}",
                 f"de:f:{de}",
-                "rl:i:0",
+                f"rl:i:{rep_a[i]}",
             ],
         )
     return records, delegated

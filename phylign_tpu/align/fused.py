@@ -167,6 +167,7 @@ def _select_extend_core(
     has_prim, prim_c = lex_select(c_valid)
     take_c = lambda arr, c: jnp.take_along_axis(arr, c[:, None], axis=1)[:, 0]
     prim_score = take_c(c_score, prim_c)
+    prim_count = take_c(c_count, prim_c)  # chain anchor count (cm:i)
     prim_strand = take_c(c_strand, prim_c)
     prim_qs = take_c(c_qs, prim_c)
     prim_qe = take_c(c_qe, prim_c)
@@ -214,6 +215,7 @@ def _select_extend_core(
                 qe=take_c(c_qe, ch),
                 rs=take_c(c_rs, ch),
                 re=take_c(c_re, ch),
+                count=take_c(c_count, ch),
             )
         )
         taken = taken | ((iota_c == ch[:, None]) & found[:, None])
@@ -278,7 +280,7 @@ def _select_extend_core(
     for s, so in enumerate(sup_out):
         flags = flags | so["found"].astype(jnp.int32) * (F_SUP0 << s)
     hot = jnp.stack(
-        [(w0 - c_start), ci, flags | (end_d << 8)], axis=1
+        [(w0 - c_start), ci, flags | (end_d << 8), prim_count], axis=1
     ).astype(jnp.int32)
     flts = jnp.stack([prim_score, s2], axis=1)
     # mismatch bitmask packed big-endian to match np.unpackbits on the host
@@ -287,7 +289,9 @@ def _select_extend_core(
     neq_pack = (bits * weights[None, None, :]).sum(axis=2).astype(jnp.uint8)
     cold_ints = [prim_qs, prim_qe, prim_rs, prim_re]
     for so in sup_out:
-        cold_ints += [so["strand"], so["qs"], so["qe"], so["rs"], so["re"]]
+        cold_ints += [
+            so["strand"], so["qs"], so["qe"], so["rs"], so["re"], so["count"]
+        ]
     cold_i = jnp.stack(cold_ints, axis=1).astype(jnp.int32)
     cold_f = (
         jnp.stack([so["score"] for so in sup_out], axis=1)

@@ -298,6 +298,9 @@ def cli_entry(argv: list[str] | None = None) -> None:
 
 
 def main(argv: list[str] | None = None) -> None:
+    from phylign_tpu.utils.platform import ensure_backend
+
+    ensure_backend()  # resolve the device backend before any jax touch
     logging.basicConfig(
         stream=sys.stderr,
         level=logging.INFO,

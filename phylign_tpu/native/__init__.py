@@ -51,7 +51,7 @@ def get_lib() -> ctypes.CDLL | None:
     # raising here would take down every native caller instead of falling
     # back to the numpy paths
     try:
-        lib.anchors_fill
+        lib.anchors_count2
     except AttributeError:
         try:  # force a rebuild even if make thinks the .so is fresh
             _LIB_PATH.unlink()
@@ -123,13 +123,15 @@ def get_lib() -> ctypes.CDLL | None:
     _i32p = ctypes.POINTER(ctypes.c_int32)
     _u64p = ctypes.POINTER(ctypes.c_uint64)
     _u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.anchors_count.restype = ctypes.c_int64
-    lib.anchors_count.argtypes = [
+    lib.anchors_count2.restype = ctypes.c_int64
+    lib.anchors_count2.argtypes = [
         _u64p, _i64p, _i64p, ctypes.c_int64,  # uh, us, ucnt, n_uniq
         _u8p,  # sort_strand
-        _u64p, _u8p, _i64p, ctypes.c_int64,  # qh, qstrand, qoff, n_queries
-        ctypes.c_int64,  # max_occ
+        _u64p, _i64p, _u8p, _i64p,  # qh, qpos, qstrand, qoff
+        ctypes.c_int64,  # n_queries
+        ctypes.c_int64, ctypes.c_int32,  # max_occ, k
         _i64p, _i32p, _i32p, _i64p,  # m_lo, m_np, m_nm, gcount
+        _i64p,  # rep_len
     ]
     lib.anchors_fill.restype = None
     lib.anchors_fill.argtypes = [
@@ -292,13 +294,15 @@ def native_collect_anchors(
     qlen: np.ndarray,
     max_occ: int,
     k: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
     """Seed-anchor collection for a query batch against one ref table.
 
-    Returns (rpos i32[T], qpos i32[T], bounds i64[2Q+1]) with anchors of
-    group g = 2*query + rel_strand in rows bounds[g]:bounds[g+1], sorted by
-    (rpos, qpos) — byte-identical to the numpy path in
-    ops.minimizer.collect_anchors_batch. None without the lib."""
+    Returns (rpos i32[T], qpos i32[T], bounds i64[2Q+1], rep_len i64[Q])
+    with anchors of group g = 2*query + rel_strand in rows
+    bounds[g]:bounds[g+1], sorted by (rpos, qpos) — byte-identical to the
+    numpy path in ops.minimizer.collect_anchors_batch. rep_len[q] = query
+    bases covered by over-max_occ seeds (minimap2's repeat length, rl:i).
+    None without the lib."""
     lib = get_lib()
     if lib is None:
         return None
@@ -319,17 +323,20 @@ def native_collect_anchors(
     m_np = np.empty(nm, np.int32)
     m_nm = np.empty(nm, np.int32)
     gcount = np.zeros(2 * nq, np.int64)
+    rep_len = np.zeros(nq, np.int64)
 
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    total = lib.anchors_count(
+    total = lib.anchors_count2(
         p(uh, ctypes.c_uint64), p(us, ctypes.c_int64), p(ucnt, ctypes.c_int64),
         len(uh), _u8ptr(sort_strand),
-        p(qh, ctypes.c_uint64), _u8ptr(qstrand), p(qoff, ctypes.c_int64), nq,
-        int(max_occ),
+        p(qh, ctypes.c_uint64), p(qpos, ctypes.c_int64), _u8ptr(qstrand),
+        p(qoff, ctypes.c_int64), nq,
+        int(max_occ), int(k),
         p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
         p(m_nm, ctypes.c_int32), p(gcount, ctypes.c_int64),
+        p(rep_len, ctypes.c_int64),
     )
     bounds = np.zeros(2 * nq + 1, np.int64)
     np.cumsum(gcount, out=bounds[1:])
@@ -345,7 +352,7 @@ def native_collect_anchors(
             p(m_nm, ctypes.c_int32), p(bounds, ctypes.c_int64),
             p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
         )
-    return out_rpos, out_qpos, bounds
+    return out_rpos, out_qpos, bounds, rep_len
 
 
 def native_filter_topk_rows(q, score, brank, arank, smax, keep):

@@ -342,21 +342,27 @@ int64_t parse_match_text(const uint8_t* buf, int64_t n,
 // split by relative strand, group rows by (query, strand) and sort each
 // group by (rpos, qpos). Two calls share the expensive binary-search pass:
 //
-//   anchors_count: per-minimizer (lo, n_plus, n_minus) into scratch arrays
-//                  + per-group counts; returns the total anchor count.
-//   anchors_fill:  consumes the scratch, writes flat (rpos, qpos) arrays
-//                  with bounds[2q+s] group offsets, sorted within groups.
+//   anchors_count2: per-minimizer (lo, n_plus, n_minus) into scratch arrays
+//                   + per-group counts + per-query rep_len (query bases
+//                   covered by over-max_occ seeds, merged spans — minimap2's
+//                   repeat length feeding the rl:i tag); returns the total
+//                   anchor count.
+//   anchors_fill:   consumes the scratch, writes flat (rpos, qpos) arrays
+//                   with bounds[2q+s] group offsets, sorted within groups.
 
-int64_t anchors_count(const uint64_t* uh, const int64_t* us,
-                      const int64_t* ucnt, int64_t n_uniq,
-                      const uint8_t* sort_strand,
-                      const uint64_t* qh, const uint8_t* qstrand,
-                      const int64_t* qoff, int64_t n_queries,
-                      int64_t max_occ,
-                      int64_t* m_lo, int32_t* m_np, int32_t* m_nm,
-                      int64_t* gcount /* [2*n_queries], zeroed by caller */) {
+int64_t anchors_count2(const uint64_t* uh, const int64_t* us,
+                       const int64_t* ucnt, int64_t n_uniq,
+                       const uint8_t* sort_strand,
+                       const uint64_t* qh, const int64_t* qpos,
+                       const uint8_t* qstrand,
+                       const int64_t* qoff, int64_t n_queries,
+                       int64_t max_occ, int32_t k,
+                       int64_t* m_lo, int32_t* m_np, int32_t* m_nm,
+                       int64_t* gcount /* [2*n_queries], zeroed by caller */,
+                       int64_t* rep_len /* [n_queries], zeroed by caller */) {
   int64_t total = 0;
   for (int64_t q = 0; q < n_queries; q++) {
+    int64_t rep_st = -1, rep_en = -1;  // current merged repeat span
     for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
       uint64_t h = qh[m];
       const uint64_t* it = std::lower_bound(uh, uh + n_uniq, h);
@@ -364,7 +370,18 @@ int64_t anchors_count(const uint64_t* uh, const int64_t* us,
       if (it != uh + n_uniq && *it == h) {
         int64_t u = it - uh;
         int64_t cnt = ucnt[u];
-        if (cnt > 0 && cnt <= max_occ) {
+        if (cnt > max_occ) {
+          // high-frequency seed: drop, but count its query span toward the
+          // repeat length (spans arrive position-sorted; merge overlaps)
+          int64_t st = qpos[m], en = st + k;
+          if (st > rep_en) {
+            if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
+            rep_st = st;
+            rep_en = en;
+          } else if (en > rep_en) {
+            rep_en = en;
+          }
+        } else if (cnt > 0) {
           lo = us[u];
           uint8_t qs = qstrand[m];
           for (int64_t o = lo; o < lo + cnt; o++) {
@@ -380,6 +397,7 @@ int64_t anchors_count(const uint64_t* uh, const int64_t* us,
       gcount[2 * q + 1] += nm;
       total += np + nm;
     }
+    if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
   }
   return total;
 }

@@ -20,7 +20,7 @@ sorted seed tables feed the device chain/extend kernels
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -145,6 +145,9 @@ class RefIndex:
     # multiple of 4) for the fused align path's device genome pool
     _pack4: np.ndarray | None = None
 
+    # cached derived occurrence caps, keyed by (frac, min_mid, max_mid)
+    _mid_occ: dict = field(default_factory=dict)
+
     def contig_of(self, gpos: int) -> tuple[int, int]:
         """Global position -> (contig_idx, position within contig)."""
         c = int(np.searchsorted(self.contig_starts, gpos, side="right")) - 1
@@ -167,6 +170,30 @@ class RefIndex:
             )
             object.__setattr__(self, "_uniq", (uh, us.astype(np.int64), uc))
         return self._uniq
+
+    def mid_occ(
+        self,
+        frac: float = 2e-4,
+        min_mid: int = 10,
+        max_mid: int = 1_000_000,
+    ) -> int:
+        """Occurrence cap derived from this genome's minimizer-frequency
+        distribution (minimap2's mm_idx_cal_max_occ + the min/max clamps of
+        mm_mapopt_update): the occurrence count of the (1-frac)-quantile
+        distinct minimizer, plus one, clamped to [min_mid, max_mid]. Used
+        for presets whose mid_occ is not a fixed preset constant (sr pins
+        1000; ref: batch_align.py:268-270 runs `minimap2 -x sr`). Cached
+        per (frac, min, max)."""
+        key = (frac, min_mid, max_mid)
+        if self._mid_occ.get(key) is None:
+            _, _, cnt = self.uniq_table()
+            if frac <= 0.0 or len(cnt) == 0:
+                thres = np.iinfo(np.int32).max
+            else:
+                kth = min(int((1.0 - frac) * len(cnt)), len(cnt) - 1)
+                thres = int(np.partition(cnt, kth)[kth]) + 1
+            self._mid_occ[key] = max(min_mid, min(thres, max_mid))
+        return self._mid_occ[key]
 
 
 def build_ref_index(
@@ -226,24 +253,43 @@ class Anchors:
     qpos: np.ndarray  # int32 [A] query pos (in strand-adjusted query coords)
 
 
+def _rep_lens(
+    qid: np.ndarray, qp: np.ndarray, flt: np.ndarray, k: int, nq: int
+) -> np.ndarray:
+    """Per-query repeat length: query bases covered by filtered (over-cap)
+    seeds, overlapping spans merged (minimap2's rep_len, the rl:i tag).
+    qp must be position-sorted within each query (minimizer order). Since
+    all spans have width k and starts ascend, the merged coverage is
+    sum(min(k, next_start - start)) with k for the last span per query."""
+    idx = np.flatnonzero(flt)
+    if len(idx) == 0:
+        return np.zeros(nq, np.int64)
+    q, st = qid[idx], qp[idx]
+    contrib = np.full(len(idx), k, np.int64)
+    same = q[1:] == q[:-1]
+    contrib[:-1][same] = np.minimum(k, (st[1:] - st[:-1])[same])
+    return np.bincount(q, weights=contrib, minlength=nq).astype(np.int64)
+
+
 def collect_anchors_batch(
     ref: RefIndex,
     q_hashes: list[np.ndarray],
     q_poss: list[np.ndarray],
     q_strands: list[np.ndarray],
     q_lens: list[int],
-    max_occ: int = 50,
-) -> list[tuple[Anchors, Anchors]]:
+    max_occ: int = 1000,
+) -> tuple[list[tuple[Anchors, Anchors]], np.ndarray]:
     """Vectorized anchor collection for MANY queries against one genome.
 
     One searchsorted over the concatenated minimizer sets + one vectorized
     range expansion replaces the per-minimizer Python loop of
-    collect_anchors; semantics identical. Returns per-query (plus, minus)."""
+    collect_anchors; semantics identical. Returns (per-query (plus, minus),
+    rep_len i64[nq] — query bases covered by over-cap seeds, the rl:i tag)."""
     nq = len(q_hashes)
     sizes = np.array([len(h) for h in q_hashes], np.int64)
     if sizes.sum() == 0 or ref.sort_hash.shape[0] == 0:
         empty = Anchors(np.empty(0, np.int32), np.empty(0, np.int32))
-        return [(empty, empty) for _ in range(nq)]
+        return [(empty, empty) for _ in range(nq)], np.zeros(nq, np.int64)
     qid = np.repeat(np.arange(nq), sizes)
     h = np.concatenate(q_hashes)
     qp = np.concatenate(q_poss).astype(np.int64)
@@ -260,7 +306,7 @@ def collect_anchors_batch(
         max_occ, ref.k,
     )
     if nat is not None:
-        rp_s, qp_s, bounds = nat
+        rp_s, qp_s, bounds, rep = nat
         out = []
         bl = bounds.tolist()
         for q in range(nq):
@@ -272,18 +318,19 @@ def collect_anchors_batch(
                     Anchors(rp_s[sl_m], qp_s[sl_m]),
                 )
             )
-        return out
+        return out, rep
     pos = np.minimum(np.searchsorted(uh, h), len(uh) - 1)
     found = uh[pos] == h
     lo = us[pos]
     cnt = np.where(found, ucnt[pos], 0)
+    rep = _rep_lens(qid, qp, cnt > max_occ, ref.k, nq)
     keep = (cnt > 0) & (cnt <= max_occ)
     ks = np.flatnonzero(keep)
     reps = cnt[ks]
     tot = int(reps.sum())
     if tot == 0:
         empty = Anchors(np.empty(0, np.int32), np.empty(0, np.int32))
-        return [(empty, empty) for _ in range(nq)]
+        return [(empty, empty) for _ in range(nq)], rep
     # flat indices into the sorted ref table: starts repeated + running offset
     offs = np.arange(tot) - np.repeat(np.cumsum(reps) - reps, reps)
     rt = np.repeat(lo[ks], reps) + offs
@@ -339,7 +386,7 @@ def collect_anchors_batch(
                 Anchors(rp_s[sl_m], qp_s[sl_m]),
             )
         )
-    return out
+    return out, rep
 
 
 def collect_anchors(
@@ -348,23 +395,35 @@ def collect_anchors(
     q_pos: np.ndarray,
     q_strand: np.ndarray,
     qlen: int,
-    max_occ: int = 50,
-) -> tuple[Anchors, Anchors]:
-    """Look up query minimizers in the ref table -> (plus, minus) anchor sets.
+    max_occ: int = 1000,
+) -> tuple[Anchors, Anchors, int]:
+    """Look up query minimizers in the ref table -> (plus, minus, rep_len).
 
     An anchor joins a query minimizer and one ref occurrence of the same
     canonical k-mer. Relative strand = q_strand XOR ref_strand; for minus
     anchors the query coordinate is re-expressed in the reverse-complemented
     query (qlen - k - qpos), so chaining is monotonic in both strands.
     Seeds occurring more than max_occ times in the genome are dropped
-    (minimap2's high-frequency seed filter, sr -f).
+    (minimap2's high-frequency seed filter; the sr preset pins the cap at
+    1000, other presets derive it — RefIndex.mid_occ); rep_len counts the
+    query bases those dropped seeds cover (merged spans, the rl:i tag).
     """
     lo = np.searchsorted(ref.sort_hash, q_hash, side="left")
     hi = np.searchsorted(ref.sort_hash, q_hash, side="right")
     rp_p, qp_p, rp_m, qp_m = [], [], [], []
     k = ref.k
+    cnt_all = hi - lo
+    rep = int(
+        _rep_lens(
+            np.zeros(len(q_hash), np.int64),
+            q_pos.astype(np.int64),
+            cnt_all > max_occ,
+            k,
+            1,
+        )[0]
+    )
     for i in range(q_hash.shape[0]):
-        cnt = hi[i] - lo[i]
+        cnt = cnt_all[i]
         if cnt == 0 or cnt > max_occ:
             continue
         rp = ref.sort_pos[lo[i] : hi[i]]
@@ -387,4 +446,4 @@ def collect_anchors(
     for a in (plus, minus):
         order = np.lexsort((a.qpos, a.rpos))
         a.rpos, a.qpos = a.rpos[order], a.qpos[order]
-    return plus, minus
+    return plus, minus, rep

@@ -79,13 +79,16 @@ for rep in range(4):
     T.clear()
     t0 = time.perf_counter()
     with timeit("anchors.collect"):
-        per_q = opm.collect_anchors_batch(
+        per_q, rep = opm.collect_anchors_batch(
             ref, [sk.mh for sk in sks], [sk.mp for sk in sks],
             [sk.ms for sk in sks], [len(sk.codes) for sk in sks],
-            params.max_occ,
+            params.occ_cap(ref),
         )
     with timeit("anchors.tasks"):
-        pairs = [ae.PairTask(sk, ref, p, m) for sk, (p, m) in zip(sks, per_q)]
+        pairs = [
+            ae.PairTask(sk, ref, p, m, int(r))
+            for sk, (p, m), r in zip(sks, per_q, rep)
+        ]
     t1 = time.perf_counter()
     recs = ae.flush_pairs(pairs, params)
     t2 = time.perf_counter()

@@ -59,7 +59,7 @@ class TestRefIndexAnchors:
     def test_plus_anchors_on_diagonal(self, genome_and_read):
         ref, read = genome_and_read
         qh, qp, qs = opm.minimizers(read, ref.k, ref.w)
-        plus, minus = opm.collect_anchors(ref, qh, qp, qs, len(read))
+        plus, minus, _rep = opm.collect_anchors(ref, qh, qp, qs, len(read))
         assert len(plus.rpos) >= 5
         # anchors on the planted diagonal: rpos - qpos == contig2_start + 1000
         diag = ref.contig_starts[1] + 1000
@@ -70,7 +70,7 @@ class TestRefIndexAnchors:
         ref, read = genome_and_read
         rc = revcomp_codes(read)
         qh, qp, qs = opm.minimizers(rc, ref.k, ref.w)
-        plus, minus = opm.collect_anchors(ref, qh, qp, qs, len(rc))
+        plus, minus, _rep = opm.collect_anchors(ref, qh, qp, qs, len(rc))
         diag = ref.contig_starts[1] + 1000
         on_diag = (minus.rpos - minus.qpos) == diag
         assert on_diag.sum() >= 5
@@ -245,9 +245,9 @@ class TestCollectAnchorsBatch:
         for r in sketches:
             h, p, s = opm.minimizers(r, ref.k, ref.w)
             hs.append(h); ps.append(p); ss.append(s); ls.append(len(r))
-        batch = opm.collect_anchors_batch(ref, hs, ps, ss, ls)
+        batch, _rep = opm.collect_anchors_batch(ref, hs, ps, ss, ls)
         for i in range(6):
-            plus, minus = opm.collect_anchors(ref, hs[i], ps[i], ss[i], ls[i])
+            plus, minus, _ = opm.collect_anchors(ref, hs[i], ps[i], ss[i], ls[i])
             bp, bm = batch[i]
             np.testing.assert_array_equal(bp.rpos, plus.rpos)
             np.testing.assert_array_equal(bp.qpos, plus.qpos)
@@ -257,8 +257,8 @@ class TestCollectAnchorsBatch:
     def test_empty(self):
         rng = np.random.default_rng(51)
         ref = opm.build_ref_index("X", [("c", rand_codes(rng, 2000))])
-        out = opm.collect_anchors_batch(ref, [], [], [], [])
-        assert out == []
+        out, rep = opm.collect_anchors_batch(ref, [], [], [], [])
+        assert out == [] and len(rep) == 0
 
 
 class TestTracebackProperty:

@@ -121,16 +121,19 @@ class TestNativeAnchors:
             )
         args = (
             ref, [s.mh for s in sks], [s.mp for s in sks],
-            [s.ms for s in sks], [len(s.codes) for s in sks], params.max_occ,
+            # explicit low cap so the 60-copy planted repeat exercises the
+            # high-occurrence drop + rep_len paths (sr's real cap is 1000)
+            [s.ms for s in sks], [len(s.codes) for s in sks], 50,
         )
-        got = opm.collect_anchors_batch(*args)
+        got, got_rep = opm.collect_anchors_batch(*args)
         os.environ["PHYLIGN_TPU_NO_NATIVE"] = "1"
         nat._lib = None
         try:
-            want = opm.collect_anchors_batch(*args)
+            want, want_rep = opm.collect_anchors_batch(*args)
         finally:
             del os.environ["PHYLIGN_TPU_NO_NATIVE"]
             nat._lib = None
+        np.testing.assert_array_equal(got_rep, want_rep)
         for (gp, gm), (wp, wm) in zip(got, want):
             np.testing.assert_array_equal(gp.rpos, wp.rpos)
             np.testing.assert_array_equal(gp.qpos, wp.qpos)

@@ -128,6 +128,37 @@ class TestReferenceScriptParity:
 GOLDEN_XZ = REF / "data" / f"{STEM}.sam_summary.xz"
 
 
+class TestAggregateSamsParity:
+    def test_aggregate_byte_identical_decompressed(self, pipeline_run):
+        """The reference's aggregate_sams.sh run over THIS pipeline's
+        05_map files (same workdir-relative arguments the Snakefile passes,
+        ref: Snakefile:566-579) must decompress byte-identically to our
+        sam_summary.gz. Compressed bytes differ legitimately (gzip level /
+        header metadata), the decompressed stream is the contract."""
+        import gzip
+
+        wd, env = pipeline_run
+        batches = sorted(
+            p.name[: -len(f"____{STEM}.sam.gz")]
+            for p in (wd / "intermediate" / "05_map").glob("*.sam.gz")
+        )
+        rel = [
+            f"intermediate/05_map/{b}____{STEM}.sam.gz" for b in batches
+        ]
+        ref = subprocess.run(
+            ["bash", str(REF / "scripts" / "aggregate_sams.sh"), *rel],
+            capture_output=True,
+            cwd=wd,
+            env=env,
+            check=True,
+        )
+        theirs = gzip.decompress(ref.stdout)
+        ours = gzip.decompress(
+            (wd / "output" / f"{STEM}.sam_summary.gz").read_bytes()
+        )
+        assert ours == theirs
+
+
 class TestRealGoldenStatsParity:
     def test_final_stats_on_real_golden_byte_identical(
         self, pipeline_run, tmp_path
