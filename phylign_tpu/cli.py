@@ -85,6 +85,36 @@ def _my_batches(args, pl) -> tuple[list[str], int, int]:
     return shard_batches(batches, num, pid), num, pid
 
 
+def _wait_for_peers(paths, what: str, timeout_s: float, poll_s: float = 2.0):
+    """Rank-0 completion barrier for multi-process runs over a shared
+    filesystem: block until every peer output exists (peers write atomically
+    via tmp-then-rename, so existence == complete), with progress logs and a
+    timeout. Replaces the global barrier Snakemake's DAG gives the reference
+    for free (ref: /root/reference/Snakefile:490-520,566-579)."""
+    import time
+
+    t0 = time.monotonic()
+    last = -1
+    while True:
+        missing = [p for p in paths if not p.exists()]
+        if not missing:
+            return
+        if len(missing) != last:
+            print(
+                f"rank 0: waiting on {len(missing)} {what} file(s) from "
+                f"peer processes (next: {missing[0].name})",
+                flush=True,
+            )
+            last = len(missing)
+        if time.monotonic() - t0 > timeout_s:
+            sys.exit(
+                f"rank 0: timed out after {timeout_s:.0f}s waiting on "
+                f"{len(missing)} {what} file(s) (e.g. {missing[0]}); "
+                "re-run this rank to resume once peers finish"
+            )
+        time.sleep(poll_s)
+
+
 def cmd_match(args) -> None:
     from phylign_tpu.pipeline.stages import Pipeline
 
@@ -95,15 +125,16 @@ def cmd_match(args) -> None:
     mine, num, pid = _my_batches(args, pl)
     pl.match(stem, mine)
     if num > 1:
-        missing = [
-            b for b in pl.batches() if not pl.match_path(b, stem).exists()
-        ]
-        if missing:
+        if pid != 0:
             print(
-                f"process {pid}: matched {len(mine)} batches; waiting on "
-                f"{len(missing)} from other processes before filtering"
+                f"process {pid}: matched {len(mine)} batch(es); "
+                "rank 0 runs the filter once all ranks finish"
             )
             return
+        _wait_for_peers(
+            [pl.match_path(b, stem) for b in pl.batches()],
+            "match", args.peer_wait_timeout,
+        )
     out = pl.filter(stem)
     print(f"match done: {out}")
 
@@ -118,13 +149,16 @@ def cmd_map(args) -> None:
     mine, num, pid = _my_batches(args, pl)
     pl.align(stem, mine)
     if num > 1:
-        missing = [b for b in pl.batches() if not pl.map_path(b, stem).exists()]
-        if missing:
+        if pid != 0:
             print(
-                f"process {pid}: aligned {len(mine)} batches; waiting on "
-                f"{len(missing)} from other processes before aggregating"
+                f"process {pid}: aligned {len(mine)} batch(es); "
+                "rank 0 aggregates once all ranks finish"
             )
             return
+        _wait_for_peers(
+            [pl.map_path(b, stem) for b in pl.batches()],
+            "map", args.peer_wait_timeout,
+        )
     out = pl.aggregate(stem)
     pl.stats(stem)
     print(f"map done: {out}")
@@ -210,6 +244,116 @@ def cmd_build_index(args) -> None:
         f"built {args.out}: {idx.num_docs} docs, k={idx.term_size}, "
         f"{idx.signature_size} Bloom rows, {idx.num_hashes} hash(es)"
     )
+
+
+def cmd_preflight(args) -> None:
+    """First-contact compatibility report for REAL downloaded artifacts
+    (VERDICT r2 item 8): on the day the Zenodo data is reachable, run
+
+        phylign-tpu download --batches data/batches_small.txt
+        phylign-tpu preflight [--golden data/...sam_summary.xz]
+
+    and every assumption made offline is probed against a real batch:
+    xz integrity, COBS header field order + payload size, the doc-name
+    rid_{accession} pattern (postprocess_cobs.py:16-18 strips it), the
+    accession allow-list, and tar member naming. With --golden it finishes
+    with the reference's own `make test` oracle (cols 1-3 diff) end-to-end.
+    Exit 0 = compatible."""
+    import lzma
+    import tarfile
+
+    from phylign_tpu.io.cobs import inspect_classic_index
+    from phylign_tpu.pipeline.stages import Pipeline
+
+    cfg = _load_config(args)
+    pl = Pipeline(cfg, args.workdir)
+    batches = [args.batch] if args.batch else pl.batches()
+    wd = Path(args.workdir)
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        print(f"  [{'PASS' if ok else 'FAIL'}] {name}" + (f": {detail}" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    for batch in batches:
+        print(f"batch {batch}:")
+        cobs_xz = pl.cobs_path(batch)
+        asms_xz = pl.asms_path(batch)
+        for p, kind in ((cobs_xz, "cobs index"), (asms_xz, "assembly tar")):
+            if not p.exists():
+                check(f"{kind} present", False, f"{p} missing (run `phylign-tpu download`)")
+                continue
+            # format readability (the download stage separately applies the
+            # reference's >= 100 kB size heuristic at fetch time)
+            try:
+                with lzma.open(p) as f:
+                    f.read(16)
+                check(f"{kind} xz readable", True, f"{p.stat().st_size} B")
+            except (lzma.LZMAError, OSError) as e:
+                check(f"{kind} xz readable", False, str(e))
+        if not cobs_xz.exists():
+            continue
+
+        rep = inspect_classic_index(cobs_xz)
+        check(
+            "COBS header parse + payload size",
+            bool(rep.get("ok")),
+            rep.get("error", "")
+            or f"k={rep.get('term_size')} docs={rep.get('num_docs')} "
+            f"rows={rep.get('signature_size')} hashes={rep.get('num_hashes')}",
+        )
+        if rep.get("ok"):
+            check(
+                "term size == 31 (canonical 31-mers)",
+                rep.get("term_size") == 31,
+                str(rep.get("term_size")),
+            )
+            check(
+                "doc names carry the rid_{accession} prefix",
+                bool(rep.get("doc_names_rid_prefixed")),
+                ", ".join(rep.get("doc_names_head", [])[:2]),
+            )
+            accs = pl.batch_accessions(batch)
+            if accs is not None:
+                heads = [
+                    n.partition("_")[2] for n in rep.get("doc_names_head", [])
+                ]
+                check(
+                    "doc accessions in the batch allow-list",
+                    all(h in accs for h in heads if h),
+                    ", ".join(heads[:2]),
+                )
+            else:
+                print("  [SKIP] accession allow-list (no data/661k_batches.txt[.xz])")
+        if asms_xz.exists():
+            try:
+                with tarfile.open(asms_xz, "r|xz") as tf:
+                    names = []
+                    for m in tf:
+                        names.append(m.name)
+                        if len(names) >= 3:
+                            break
+                check(
+                    "tar members look like {accession}.fa",
+                    all(n.rsplit("/", 1)[-1].endswith(".fa") for n in names),
+                    ", ".join(names[:2]),
+                )
+            except (tarfile.TarError, lzma.LZMAError) as e:
+                check("assembly tar readable", False, str(e))
+
+    if args.golden:
+        print("golden end-to-end diff (reference `make test` oracle):")
+        from phylign_tpu.testing import run_reference_golden_test
+
+        ok = run_reference_golden_test(
+            wd, args.golden, cfg.batches, args.queries or None
+        )
+        check("sam_summary cols 1-3 vs golden", ok)
+
+    if failures:
+        sys.exit(f"preflight FAILED: {len(failures)} check(s): {', '.join(failures)}")
+    print("preflight PASSED: artifacts are compatible with this build")
 
 
 def cmd_inspect_index(args) -> None:
@@ -324,6 +468,12 @@ def main(argv: list[str] | None = None) -> None:
             "--process-id", type=int, default=None, help="this process's rank"
         )
         p.add_argument(
+            "--peer-wait-timeout", type=float, default=86400.0,
+            metavar="SECONDS",
+            help="rank 0's barrier timeout waiting for peer ranks' outputs "
+            "(multi-process runs; default 1 day)",
+        )
+        p.add_argument(
             "--distributed", nargs="?", const="auto", default=None,
             metavar="COORD",
             help="initialize jax.distributed (multi-host): coordinator "
@@ -395,6 +545,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("index")
 
     p = sub.add_parser(
+        "preflight",
+        help="first-contact compatibility report for real downloaded "
+        "artifacts (xz, COBS header, doc names, tar; --golden adds the "
+        "end-to-end cols-1-3 diff)",
+    )
+    p.add_argument("--config", default="config.yaml")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--batches", help="batches list file override")
+    p.add_argument("--batch", help="probe a single batch only")
+    p.add_argument("--golden", help="golden sam_summary(.xz) for the e2e diff")
+    p.add_argument("queries", nargs="*", help="query files for --golden mode")
+
+    p = sub.add_parser(
         "index-sizes", help="scan cobs/*.xz decompressed sizes (RAM scheduling table)"
     )
     p.add_argument("--cobs-dir", default="cobs")
@@ -414,6 +577,7 @@ def main(argv: list[str] | None = None) -> None:
         "test": cmd_test,
         "build-index": cmd_build_index,
         "inspect-index": cmd_inspect_index,
+        "preflight": cmd_preflight,
         "report": cmd_report,
         "index-sizes": cmd_index_sizes,
     }[args.cmd](args)

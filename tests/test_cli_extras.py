@@ -31,19 +31,56 @@ class TestProcessSharding:
         assert coord == "node"
 
     def test_sharded_match_then_map(self, workdir, capsys):
+        """Sequential rank execution (cluster resume order): non-zero ranks
+        defer finalization; rank 0, finding every peer output present,
+        finalizes without waiting. The concurrent-ranks barrier (rank 0
+        launched first, polling) is covered by test_multiprocess_cli.py."""
         inputs = sorted(str(p) for p in (workdir / "input").iterdir())
         base = ["--config", str(workdir / "config.yaml"), "--workdir", str(workdir)]
-        # process 0 of 2 runs first: must wait for process 1
-        main(["match", *base, "--num-processes", "2", "--process-id", "0", *inputs])
-        assert "waiting on" in capsys.readouterr().out
         main(["match", *base, "--num-processes", "2", "--process-id", "1", *inputs])
+        assert "rank 0 runs the filter" in capsys.readouterr().out
+        main(["match", *base, "--num-processes", "2", "--process-id", "0", *inputs])
         assert "match done" in capsys.readouterr().out
-        main(["map", *base, "--num-processes", "2", "--process-id", "0", *inputs])
-        assert "waiting on" in capsys.readouterr().out
         main(["map", *base, "--num-processes", "2", "--process-id", "1", *inputs])
+        assert "rank 0 aggregates" in capsys.readouterr().out
+        main(["map", *base, "--num-processes", "2", "--process-id", "0", *inputs])
         assert "map done" in capsys.readouterr().out
         got = (workdir / "output").glob("*.sam_summary.gz")
         assert list(got)
+
+
+class TestPreflight:
+    def test_passes_on_fixture(self, workdir, capsys):
+        main(
+            [
+                "preflight",
+                "--config", str(workdir / "config.yaml"),
+                "--workdir", str(workdir),
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "preflight PASSED" in out
+        assert "[FAIL]" not in out
+        assert "rid_{accession} prefix" in out
+
+    def test_fails_on_corrupt_index(self, tmp_path, capsys):
+        import lzma
+
+        fixture_mod.make_fixture(tmp_path, n_batches=1, seed=13)
+        idx = next((tmp_path / "cobs").glob("*.xz"))
+        raw = bytearray(lzma.decompress(idx.read_bytes()))
+        raw[:8] = b"XXXXXXXX"  # clobber the magic
+        idx.write_bytes(lzma.compress(bytes(raw)))
+        with pytest.raises(SystemExit) as ei:
+            main(
+                [
+                    "preflight",
+                    "--config", str(tmp_path / "config.yaml"),
+                    "--workdir", str(tmp_path),
+                ]
+            )
+        assert "preflight FAILED" in str(ei.value)
+        assert "[FAIL]" in capsys.readouterr().out
 
 
 class TestBuildIndexCLI:
