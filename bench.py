@@ -74,6 +74,86 @@ def tpu_throughput() -> float:
     return REPS * Q / dt
 
 
+def dedup_main() -> None:
+    """--dedup: the cross-query k-mer dedup variant (VERDICT r2 item 4).
+
+    Workload: the standard S=2M/Wp=68/Q=2048/K=128 chunk with 50% of the
+    row indices drawn from a small shared pool (overlapping-reads analogue).
+    Reports the two-stage dedup kernel's q/s with vs_baseline = speedup over
+    the direct big-table gather on the SAME workload; asserts bit-identical
+    score sums. Device-only timing (scan-in-jit); the host unique pass is
+    excluded and priced separately in docs/performance.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from phylign_tpu.ops.match import dedup_rows, match_scores_xla
+    from phylign_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+    _enable_jax_cache()
+    rng = np.random.default_rng(0)
+    words_np = np.zeros((S + 1, WP), np.uint32)
+    words_np[:S] = rng.integers(0, 2**32, (S, WP), dtype=np.uint32)
+    words = jnp.asarray(words_np)
+
+    idxs, unis, invs = [], [], []
+    for _ in range(REPS):
+        pool = rng.integers(0, S, 4096, dtype=np.int32)
+        flat = rng.integers(0, S, Q * K, dtype=np.int32)
+        pos = rng.choice(Q * K, Q * K // 2, replace=False)
+        flat[pos] = pool[rng.integers(0, len(pool), len(pos))]
+        idx = flat.reshape(Q, K)
+        dd = dedup_rows(idx, S, WP)
+        assert dd is not None, "50%-shared workload must pass the dedup gate"
+        idxs.append(idx)
+        unis.append(dd[0])
+        invs.append(dd[1])
+    up = max(u.size for u in unis)
+    uni_pad = np.full((REPS, up), S, np.int32)
+    for r, u in enumerate(unis):
+        uni_pad[r, : u.size] = u
+
+    @jax.jit
+    def run_direct(words, idxs):
+        def body(c, ix):
+            return c + match_scores_xla(words, ix).sum(dtype=jnp.int32), 0
+
+        return jax.lax.scan(body, jnp.int32(0), idxs)[0]
+
+    @jax.jit
+    def run_dedup(words, uniqs, invs):
+        def body(c, x):
+            u, iv = x
+            return c + match_scores_xla(words[u], iv).sum(dtype=jnp.int32), 0
+
+        return jax.lax.scan(body, jnp.int32(0), (uniqs, invs))[0]
+
+    i_j = jnp.asarray(np.stack(idxs))
+    u_j, v_j = jnp.asarray(uni_pad), jnp.asarray(np.stack(invs))
+    a = run_direct(words, i_j)
+    int(a)
+    b = run_dedup(words, u_j, v_j)
+    int(b)
+    assert int(a) == int(b), "dedup path diverged from direct scores"
+    dt_d = dt_u = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        int(run_direct(words, i_j))
+        dt_d = min(dt_d, (time.perf_counter() - t0) / REPS)
+        t0 = time.perf_counter()
+        int(run_dedup(words, u_j, v_j))
+        dt_u = min(dt_u, (time.perf_counter() - t0) / REPS)
+    print(
+        json.dumps(
+            {
+                "metric": "match dedup kernel queries/s (50% shared k-mers, 1 chip)",
+                "value": round(Q / dt_u, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(dt_d / dt_u, 2),
+            }
+        )
+    )
+
+
 def cpu_baseline_throughput() -> float:
     rng = np.random.default_rng(1)
     words = rng.integers(0, 2**32, (S, WP), dtype=np.uint32)
@@ -181,5 +261,7 @@ if __name__ == "__main__":
     ensure_backend(allow_cpu=False)
     if "--e2e" in sys.argv:
         e2e_main()
+    elif "--dedup" in sys.argv:
+        dedup_main()
     else:
         main()

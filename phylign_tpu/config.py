@@ -64,6 +64,11 @@ class Config:
     # budget at pipeline init; 0 disables.
     device_index_cache_gb: float = 4.0
     device_query_chunk: int = 1024  # queries per match device call
+    # cross-query k-mer dedup in the match kernel (two-stage gather; beats
+    # the gather roofline at >= ~45% shared k-mers, bit-identical output).
+    # Opt-in: the host-side unique pass only pays off on hosts where it is
+    # cheaper than the device time it saves (see docs/performance.md).
+    match_dedup: bool = False
     device_pair_chunk: int = 4096  # align pairs pooled per device flush
     mesh_shape: str = "1x1"  # doc-shard x data-parallel mesh (parallel.mesh)
     filter_mode: str = "auto"  # auto (native arrays when available) | streaming

@@ -19,8 +19,10 @@ import numpy as np
 from phylign_tpu.io.cobs import DeviceIndex
 from phylign_tpu.kmer import cobs_row_indices, encode_seq
 from phylign_tpu.ops.match import (
+    dedup_rows,
     match_scores,
     match_scores_xla,
+    match_scores_xla_dedup,
     pack_row_indices,
     pad_device_words,
     round_up,
@@ -129,6 +131,26 @@ class Matcher:
     words: jax.Array  # uint32 [S+1, Wp] on device
     use_pallas: bool | None = None
     mesh: object | None = None  # jax.sharding.Mesh or None
+    #: cross-query k-mer dedup (two-stage gather, ops.match.dedup_rows).
+    #: Beats the big-table gather roofline when >= ~45% of a chunk's row
+    #: indices repeat (overlapping/high-coverage reads) — but the host-side
+    #: unique pass costs ~25 ms per million indices on this machine, so it
+    #: is opt-in: enable on hosts where that is cheaper than the device
+    #: time it saves, or when match chunks are prepared off the critical
+    #: path. Scores are bit-identical either way (tested).
+    dedup: bool = False
+
+    def _device_scores(self, packed: np.ndarray) -> jax.Array:
+        """Score one packed chunk, via the dedup path when enabled+profitable."""
+        if self.dedup and self.mesh is None and not self.use_pallas:
+            dd = dedup_rows(packed, self.pad_row, self.words.shape[1])
+            if dd is not None:
+                return match_scores_xla_dedup(
+                    self.words, jnp.asarray(dd[0]), jnp.asarray(dd[1])
+                )
+        return match_scores(
+            self.words, jnp.asarray(packed), use_pallas=self.use_pallas
+        )
 
     @classmethod
     def from_device_index(
@@ -238,9 +260,7 @@ class Matcher:
                     self.mesh, self.words, jnp.asarray(packed)
                 )
             else:
-                dev_scores = match_scores(
-                    self.words, jnp.asarray(packed), use_pallas=self.use_pallas
-                )
+                dev_scores = self._device_scores(packed)
             max_score = k_pack  # per-segment count <= valid k-mer slots
             dtype = (
                 jnp.uint8
@@ -365,9 +385,7 @@ class Matcher:
             packed, _ = pack_row_indices(
                 per_query, max(k_pack, 1), self.pad_row, self.num_hashes
             )
-            dev_scores = match_scores(
-                self.words, jnp.asarray(packed), use_pallas=self.use_pallas
-            )
+            dev_scores = self._device_scores(packed)
             vals, idx, n_keep = jax.device_get(
                 _topk_scores(
                     dev_scores, jnp.asarray(_int_cut(threshold, n_kmers)), kk, d

@@ -143,6 +143,9 @@ def get_lib() -> ctypes.CDLL | None:
         _i32p, _i32p,  # out_rpos, out_qpos
     ]
 
+    lib.unique_inverse_i32.restype = ctypes.c_int64
+    lib.unique_inverse_i32.argtypes = [_i32p, ctypes.c_int64, _i32p, _i32p]
+
     lib.filter_topk_rows.restype = ctypes.c_int64
     lib.filter_topk_rows.argtypes = [
         ctypes.POINTER(ctypes.c_int64),
@@ -353,6 +356,22 @@ def native_collect_anchors(
             p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
         )
     return out_rpos, out_qpos, bounds, rep_len
+
+
+def native_unique_inverse(x: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Sorted unique values + inverse ranks of a non-negative int32 array
+    (numpy-equivalent of np.unique(x, return_inverse=True), radix-sorted in
+    C++). None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.int32)
+    n = x.size
+    uniq = np.empty(n, np.int32)
+    inv = np.empty(n, np.int32)
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    nu = lib.unique_inverse_i32(p(x), n, p(uniq), p(inv))
+    return uniq[:nu], inv
 
 
 def native_filter_topk_rows(q, score, brank, arank, smax, keep):

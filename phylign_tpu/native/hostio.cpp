@@ -447,6 +447,57 @@ void anchors_fill(const int32_t* sort_pos, const uint8_t* sort_strand,
   }
 }
 
+// ----------------------------------------------- match-dedup unique+inverse
+
+// Sorted-unique + inverse indices over an int32 array (the host half of the
+// match kernel's two-stage dedup gather, ops/match.py dedup_rows): LSD radix
+// sort on (value << 32 | position) packed u64 keys — ~5x faster than
+// numpy's np.unique(return_inverse=True) argsort path on this host. Values
+// must be non-negative. Writes ascending uniques to uniq_out (capacity n)
+// and the value's unique-rank to inv_out[pos]; returns the unique count.
+int64_t unique_inverse_i32(const int32_t* x, int64_t n,
+                           int32_t* uniq_out, int32_t* inv_out) {
+  if (n == 0) return 0;
+  std::vector<uint64_t> keys((size_t)n), tmp((size_t)n);
+  for (int64_t i = 0; i < n; i++)
+    keys[(size_t)i] = ((uint64_t)(uint32_t)x[i] << 32) | (uint32_t)i;
+  // 16-bit-digit LSD radix; skip digits that are constant across the array
+  uint64_t ormask = 0, andmask = ~0ull;
+  for (int64_t i = 0; i < n; i++) {
+    ormask |= keys[(size_t)i];
+    andmask &= keys[(size_t)i];
+  }
+  uint64_t varying = ormask ^ andmask;
+  size_t count[1 << 16];
+  for (int shift = 0; shift < 64; shift += 16) {
+    if (((varying >> shift) & 0xFFFF) == 0) continue;
+    std::memset(count, 0, sizeof(count));
+    for (int64_t i = 0; i < n; i++)
+      count[(keys[(size_t)i] >> shift) & 0xFFFF]++;
+    size_t pos = 0;
+    for (size_t d = 0; d < (1 << 16); d++) {
+      size_t c = count[d];
+      count[d] = pos;
+      pos += c;
+    }
+    for (int64_t i = 0; i < n; i++)
+      tmp[count[(keys[(size_t)i] >> shift) & 0xFFFF]++] = keys[(size_t)i];
+    std::swap(keys, tmp);
+  }
+  int64_t nu = -1;
+  int32_t prev = -1;
+  for (int64_t i = 0; i < n; i++) {
+    int32_t v = (int32_t)(keys[(size_t)i] >> 32);
+    int32_t p = (int32_t)(keys[(size_t)i] & 0xFFFFFFFFu);
+    if (nu < 0 || v != prev) {
+      uniq_out[++nu] = v;
+      prev = v;
+    }
+    inv_out[p] = (int32_t)nu;
+  }
+  return nu + 1;
+}
+
 // ------------------------------------------------- global top-k filter core
 
 // The filter stage's hot core (ref: filter_queries.py:123-150): sort all

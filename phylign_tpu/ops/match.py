@@ -132,6 +132,62 @@ def match_scores_xla(words: jax.Array, row_idx: jax.Array) -> jax.Array:
     return acc.reshape(q, wp * 32)
 
 
+# --- cross-query k-mer dedup (two-stage gather) ------------------------------
+
+#: bytes below which a gather SOURCE table sits in the measured fast regime
+#: (v5e: ~138M rows/s vs ~65M from HBM-resident tables; the cliff sits
+#: between 36 MB and 71 MB — VMEM residency; docs/performance.md)
+DEDUP_FAST_BYTES = 40 << 20
+
+#: dedup pays only when stage-1 (U big-gathers) + stage-2 (N fast-gathers)
+#: undercuts N big-gathers; with the measured 2.1x fast-regime speedup the
+#: breakeven is U/N ~ 0.55
+DEDUP_MAX_FRAC = 0.55
+
+
+def dedup_rows(
+    row_idx: np.ndarray, pad_row: int, wp: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Host half of the two-stage dedup gather: unique row indices (padded
+    to a power-of-two bucket with ``pad_row``) + inverse indices, or None
+    when the dedup would not be profitable (low cross-query duplication, or
+    a unique table too large for the fast-gather regime).
+
+    Real read sets share k-mers across overlapping reads; gathering each
+    distinct Bloom row ONCE into a small device table and re-gathering from
+    it beats the big-table gather rate once ~45% of the chunk's row indices
+    are duplicates (measured; see docs/performance.md "match dedup").
+    """
+    flat = row_idx.reshape(-1)
+    from phylign_tpu import native
+
+    nat = native.native_unique_inverse(flat)
+    if nat is not None:
+        uniq, inv = nat
+    else:
+        uniq, inv = np.unique(flat, return_inverse=True)
+        inv = inv.astype(np.int32)
+    u, n = uniq.size, flat.size
+    up = 1 << max(10, int(np.ceil(np.log2(u + 1))))
+    if up * wp * 4 > DEDUP_FAST_BYTES or u > DEDUP_MAX_FRAC * n:
+        return None
+    uniq_pad = np.full(up, pad_row, np.int32)
+    uniq_pad[:u] = uniq
+    return uniq_pad, inv.reshape(row_idx.shape)
+
+
+@jax.jit
+def match_scores_xla_dedup(
+    words: jax.Array, uniq_pad: jax.Array, inv: jax.Array
+) -> jax.Array:
+    """Two-stage scoring: gather the chunk's unique Bloom rows into a small
+    table (fast-gather regime), then run the standard kernel against it.
+    Bit-identical to match_scores_xla(words, row_idx) for the (uniq, inv)
+    pair produced by dedup_rows: padding slots index ``pad_row`` whose row
+    is all-zero in both tables."""
+    return match_scores_xla(words[uniq_pad], inv)
+
+
 # --- Pallas TPU kernel -------------------------------------------------------
 
 _N_BUF = 16  # DMA pipeline depth for the row gather

@@ -346,6 +346,7 @@ class Pipeline:
         try:
             if matcher is None:
                 matcher = Matcher.from_device_index(didx, mesh=mesh)
+            matcher.dedup = self.cfg.match_dedup
             chunk = self.cfg.device_query_chunk
             names = np.asarray(didx.doc_names)
             with self.sched.device_lock:
