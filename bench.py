@@ -170,24 +170,63 @@ def cpu_baseline_throughput() -> float:
     return CPU_Q / med * CPU_THREADS_CREDIT
 
 
-def _e2e_run(workdir, n_reads: int, seed: int, read_seed: int | None = None) -> float:
-    """Build a perf fixture and run the full pipeline; returns seconds.
+# e2e fixture scale (VERDICT r2 item 2: >= 16 batches x >= 2k docs and
+# >= 10k reads with realistic duplication). Override with --reads/--nbatches.
+E2E_BATCHES = 16
+E2E_DOCS = 2048
+E2E_READS = 10240
+E2E_GENOME_LEN = (4_000, 8_000)
+E2E_FPR = 0.3  # the real 661k DB's Bloom false-positive regime
 
-    seed fixes the DATABASE; read_seed varies the queries — the warm and
-    timed runs share the database (as production runs over the fixed 305
-    Zenodo batches do), so the timed run hits the content-hash device
-    index cache instead of re-paying the one-time upload."""
+
+def _e2e_arg(argv, flag, default):
+    return int(argv[argv.index(flag) + 1]) if flag in argv else default
+
+
+def _e2e_stage_run(
+    workdir, n_batches: int, n_docs: int, n_reads: int,
+    seed: int, read_seed: int, reads_only: bool = False,
+) -> dict[str, float]:
+    """Build (or reuse, reads_only) the perf fixture in ``workdir`` and run
+    the pipeline STAGE BY STAGE, returning per-stage seconds plus 'total'.
+
+    seed fixes the DATABASE; read_seed varies the queries — the timed run
+    reuses the warm run's database (the production shape: the 305 Zenodo
+    batches are fixed across query workloads), so index decode + device
+    upload hit the on-disk/device caches exactly as repeated runs do."""
+    import shutil
+
     from phylign_tpu import testing
     from phylign_tpu.config import Config
     from phylign_tpu.pipeline.stages import Pipeline
 
-    testing.make_perf_fixture(workdir, n_reads=n_reads, seed=seed, read_seed=read_seed)
+    testing.make_perf_fixture(
+        workdir, n_batches=n_batches, genomes_per_batch=n_docs,
+        n_reads=n_reads, seed=seed, read_seed=read_seed,
+        genome_len=E2E_GENOME_LEN, fpr=E2E_FPR, reads_only=reads_only,
+    )
+    for d in ("intermediate", "output"):
+        shutil.rmtree(workdir / d, ignore_errors=True)
     cfg = Config.from_yaml(workdir / "config.yaml")
     pl = Pipeline(cfg, workdir)
     inputs = [str(workdir / "input" / "perf_reads.fq")]
-    t0 = time.perf_counter()
-    pl.run_all(inputs)
-    return time.perf_counter() - t0
+    stages: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    def timed(name, fn, *a):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        stages[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    stem = timed("preprocess", pl.preprocess, inputs)
+    timed("match", pl.match, stem, pl.batches())
+    timed("filter", pl.filter, stem)
+    timed("align", pl.align, stem, pl.batches())
+    timed("aggregate", pl.aggregate, stem)
+    timed("stats", pl.stats, stem)
+    stages["total"] = round(time.perf_counter() - t_all, 3)
+    return stages
 
 
 def e2e_main() -> None:
@@ -197,7 +236,9 @@ def e2e_main() -> None:
     import tempfile
     from pathlib import Path
 
-    n_reads = 2048
+    n_reads = _e2e_arg(sys.argv, "--reads", E2E_READS)
+    n_batches = _e2e_arg(sys.argv, "--nbatches", E2E_BATCHES)
+    n_docs = _e2e_arg(sys.argv, "--ndocs", E2E_DOCS)
     if "--cpu-child" in sys.argv:
         # env JAX_PLATFORMS=cpu alone is overridden by the TPU plugin's
         # sitecustomize at the CONFIG level; force it before first backend
@@ -208,31 +249,57 @@ def e2e_main() -> None:
         jax.config.update("jax_platforms", "cpu")
         assert jax.devices()[0].platform == "cpu", jax.devices()
         d = Path(tempfile.mkdtemp(prefix="phylign_e2e_cpu_"))
-        _e2e_run(d / "warm", n_reads, seed=100, read_seed=100)
-        print(f"CPU_SECONDS {_e2e_run(d / 'timed', n_reads, seed=100, read_seed=101)}")
+        _e2e_stage_run(d, n_batches, n_docs, n_reads, seed=100, read_seed=100)
+        st = _e2e_stage_run(
+            d, n_batches, n_docs, n_reads, seed=100, read_seed=101,
+            reads_only=True,
+        )
+        print(f"CPU_STAGES {json.dumps(st)}")
         return
     d = Path(tempfile.mkdtemp(prefix="phylign_e2e_"))
-    # warm compiles + device claim + the one-time database upload
-    _e2e_run(d / "warm", n_reads, seed=100, read_seed=100)
-    dt = _e2e_run(d / "timed", n_reads, seed=100, read_seed=101)
+    # warm run: compiles + device claim + the one-time database upload
+    _e2e_stage_run(d, n_batches, n_docs, n_reads, seed=100, read_seed=100)
+    stages = _e2e_stage_run(
+        d, n_batches, n_docs, n_reads, seed=100, read_seed=101,
+        reads_only=True,
+    )
+    dt = stages["total"]
     # CPU baseline in a subprocess (backend choice is process-wide)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("PYTHONPATH", None)
-    out = subprocess.run(
-        [sys.executable, __file__, "--e2e", "--cpu-child"],
+    child = subprocess.run(
+        [
+            sys.executable, __file__, "--e2e", "--cpu-child",
+            "--reads", str(n_reads), "--nbatches", str(n_batches),
+            "--ndocs", str(n_docs),
+        ],
         capture_output=True,
         text=True,
         env={**env, "PYTHONPATH": str(Path(__file__).parent)},
-        check=True,
-    ).stdout
-    cpu_dt = float(next(l for l in out.splitlines() if l.startswith("CPU_SECONDS")).split()[1])
+        timeout=14400,
+    )
+    if child.returncode != 0:
+        sys.stderr.write(child.stderr[-4000:])
+        raise SystemExit(f"CPU baseline child failed ({child.returncode})")
+    out = child.stdout
+    cpu_stages = json.loads(
+        next(l for l in out.splitlines() if l.startswith("CPU_STAGES")).split(
+            " ", 1
+        )[1]
+    )
     print(
         json.dumps(
             {
-                "metric": f"end-to-end pipeline reads/s (synthetic 2-batch fixture, Q={n_reads}, warm cache)",
+                "metric": (
+                    f"end-to-end pipeline reads/s (synthetic "
+                    f"{n_batches}-batch x {n_docs}-doc fixture, Q={n_reads}, "
+                    "warm cache)"
+                ),
                 "value": round(n_reads / dt, 1),
                 "unit": "reads/s",
-                "vs_baseline": round(cpu_dt / dt, 2),
+                "vs_baseline": round(cpu_stages["total"] / dt, 2),
+                "stages_s": stages,
+                "cpu_stages_s": cpu_stages,
             }
         )
     )

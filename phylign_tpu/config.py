@@ -63,13 +63,21 @@ class Config:
     # per-batch cost through a slow host-device link. Carved out of the HBM
     # budget at pipeline init; 0 disables.
     device_index_cache_gb: float = 4.0
-    device_query_chunk: int = 1024  # queries per match device call
+    # queries per match device call. Each call costs fixed dispatch+fetch
+    # round trips (30-80 ms each through a slow host link), so bigger chunks
+    # amortize them; the [Q, 32*Wp] transient score matrix bounds it above
+    # (8192 x 2176 x 4 B = 71 MB at the largest real batch width).
+    device_query_chunk: int = 8192
     # cross-query k-mer dedup in the match kernel (two-stage gather; beats
     # the gather roofline at >= ~45% shared k-mers, bit-identical output).
     # Opt-in: the host-side unique pass only pays off on hosts where it is
     # cheaper than the device time it saves (see docs/performance.md).
     match_dedup: bool = False
-    device_pair_chunk: int = 4096  # align pairs pooled per device flush
+    # align pairs pooled per device flush (bigger pools amortize the fixed
+    # per-flush dispatch/fetch cost; FUSED_MAX_CELLS still splits oversized
+    # chunks on device). Measured sweet spot 16384 (23.7k pairs/s vs 20k at
+    # 8192 and 18.7k at 32768 through the relay).
+    device_pair_chunk: int = 16384
     mesh_shape: str = "1x1"  # doc-shard x data-parallel mesh (parallel.mesh)
     filter_mode: str = "auto"  # auto (native arrays when available) | streaming
     output_dir: str = "output"

@@ -205,6 +205,35 @@ def canonical_kmers_ascii(codes: np.ndarray, k: int) -> np.ndarray:
     return np.where(take_rc[:, None], rc_a, fwd_a)
 
 
+def cobs_kmer_hashes(
+    codes: np.ndarray, k: int, num_hashes: int = 1
+) -> np.ndarray:
+    """RAW XXH64 values for every canonical k-mer of a sequence: uint64
+    [L-k+1, num_hashes], seed = hash index (cobs 0.2.1 term hashing minus
+    the per-index ``% signature_size``).
+
+    One hashing pass serves EVERY batch index: a Bloom row index is just
+    ``hash % signature_size``, so callers scoring the same reads against
+    many batches (the 305-batch production shape) hash once and re-mod per
+    batch (Matcher.score_hits_raw) instead of re-hashing 305 times."""
+    from phylign_tpu import native
+
+    nat = native.native_cobs_row_indices(codes, k, 0, num_hashes)
+    if nat is not None:
+        return nat.view(np.uint64)  # raw hashes bit-cast through int64
+    kmers = canonical_kmers_ascii(codes, k)
+    npos = kmers.shape[0]
+    out = np.empty((npos, num_hashes), dtype=np.uint64)
+    for h in range(num_hashes):
+        out[:, h] = xxh64_batch(np.ascontiguousarray(kmers), h)
+    return out
+
+
+def rows_from_hashes(raw: np.ndarray, signature_size: int) -> np.ndarray:
+    """Bloom row indices from cobs_kmer_hashes output: int64 [npos, H]."""
+    return (raw % np.uint64(signature_size)).astype(np.int64)
+
+
 def cobs_row_indices(
     codes: np.ndarray, k: int, signature_size: int, num_hashes: int = 1
 ) -> np.ndarray:

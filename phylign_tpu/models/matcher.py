@@ -344,13 +344,36 @@ class Matcher:
         shard -> all-gather -> re-top-k); segmented (>k_max-k-mer) queries
         use the full path.
         """
-        d = len(self.doc_names)
         all_rows = [
             cobs_row_indices(
                 encode_seq(s), self.term_size, self.signature_size, self.num_hashes
             )
             for s in seqs
         ]
+        return self._score_hits_rows(all_rows, threshold, topn, k_max)
+
+    def score_hits_raw(
+        self,
+        raw_hashes: list[np.ndarray],
+        threshold: float,
+        topn: int,
+        k_max: int = 512,
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """score_hits on precomputed RAW k-mer hashes (kmer.cobs_kmer_hashes):
+        a Bloom row is hash % signature_size, so callers scoring the same
+        reads against MANY batch indexes hash once and re-mod per batch."""
+        from phylign_tpu.kmer import rows_from_hashes
+
+        all_rows = [rows_from_hashes(r, self.signature_size) for r in raw_hashes]
+        return self._score_hits_rows(all_rows, threshold, topn, k_max)
+
+    def _score_hits_rows(
+        self,
+        all_rows: list[np.ndarray],
+        threshold: float,
+        topn: int,
+        k_max: int = 512,
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
         rep_of, per_query = _dedup_row_sets(all_rows)
         if len(per_query) < len(all_rows):
             hits_u, n_keep_u = self.score_hits_unique(
@@ -542,6 +565,21 @@ class ChunkedMatcher:
             )
             for s in seqs
         ]
+        return self._score_hits_rows(all_rows, threshold, topn)
+
+    def score_hits_raw(
+        self, raw_hashes: list[np.ndarray], threshold: float, topn: int,
+        k_max: int = 512,
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """Matcher.score_hits_raw twin: precomputed raw k-mer hashes."""
+        from phylign_tpu.kmer import rows_from_hashes
+
+        all_rows = [rows_from_hashes(r, self.signature_size) for r in raw_hashes]
+        return self._score_hits_rows(all_rows, threshold, topn)
+
+    def _score_hits_rows(
+        self, all_rows: list[np.ndarray], threshold: float, topn: int
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
         rep_of, per_query = _dedup_row_sets(all_rows)
         hits_u, n_keep_u = self._score_hits_unique(per_query, threshold, topn)
         if len(per_query) < len(all_rows):

@@ -136,8 +136,12 @@ int64_t cobs_row_indices(const uint8_t* codes, int64_t len, int32_t k,
     const uint8_t* canon = fwd.data();
     if (std::memcmp(rc.data(), fwd.data(), k) < 0) canon = rc.data();
     for (int32_t h = 0; h < num_hashes; h++) {
+      uint64_t hv = xxh64(canon, (uint64_t)k, (uint64_t)h);
+      // signature_size == 0: emit the RAW 64-bit hash (bit-cast; the
+      // caller reinterprets as uint64) so one hashing pass can serve many
+      // batches — each batch only re-mods by its own signature size.
       out[p * num_hashes + h] =
-          (int64_t)(xxh64(canon, (uint64_t)k, (uint64_t)h) % signature_size);
+          (int64_t)(signature_size ? hv % signature_size : hv);
     }
   }
   return n_pos;

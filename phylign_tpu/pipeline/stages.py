@@ -164,6 +164,15 @@ class Pipeline:
         # capacity left for transient (non-cached) index uploads; indexes
         # that cannot fit here with align headroom stream row-chunked
         self._hbm_transient_mb = int(config.device_hbm_gb * 1024) - cache_mb
+        # per-stem query cache: parsed records + raw k-mer hashes. A Bloom
+        # row is hash % signature_size, so one hashing pass serves every
+        # batch (the reference re-runs `cobs query` per batch, re-hashing
+        # the same reads 305 times; Snakefile:419-427). Guarded by a lock —
+        # match jobs run on scheduler threads.
+        self._query_cache: dict = {}
+        import threading
+
+        self._query_cache_lock = threading.Lock()
 
     def mesh(self):
         """The device mesh for sharded matching, or None for single-chip
@@ -239,14 +248,39 @@ class Pipeline:
 
     # --- stage 2+3: match ----------------------------------------------------
 
+    def _query_set(
+        self, stem: str, term_size: int, num_hashes: int
+    ) -> tuple[list[FastxRecord], list[np.ndarray]]:
+        """Parsed merged queries + their raw k-mer hashes, computed ONCE per
+        (stem, k, H) and shared by every batch's match job (per-batch work
+        is then just `hash % signature_size`)."""
+        key = (stem, term_size, num_hashes)
+        with self._query_cache_lock:
+            hit = self._query_cache.get(key)
+        if hit is not None:
+            return hit
+        from phylign_tpu.kmer import cobs_kmer_hashes, encode_seq
+
+        records = list(read_fastx_file(self.merged_fa(stem)))
+        raw = [
+            cobs_kmer_hashes(encode_seq(r.seq.encode()), term_size, num_hashes)
+            for r in records
+        ]
+        with self._query_cache_lock:
+            self._query_cache.clear()  # one read set live at a time
+            self._query_cache[key] = (records, raw)
+        return records, raw
+
     def match_one_batch(self, batch: str, stem: str) -> Path:
         out = self.match_path(batch, stem)
         if self.manifest.done("match", f"{batch}____{stem}", [str(out)]):
             return out
-        records = list(read_fastx_file(self.merged_fa(stem)))
         with benchmark(self.logs, "run_cobs", f"{batch}____{stem}"):
             didx = self._load_index(batch)
-            matches = self._score_batch(didx, records)
+            records, raw = self._query_set(
+                stem, didx.term_size, didx.num_hashes
+            )
+            matches = self._score_batch(didx, records, raw)
             tmp, commit = atomic_write_via(out)
             with xopen_write(tmp) as f:
                 write_match_file(f, matches, keep=self.cfg.nb_best_hits)
@@ -307,7 +341,10 @@ class Pipeline:
                 shutil.rmtree(t)
 
     def _score_batch(
-        self, didx: cobs_io.DeviceIndex, records: list[FastxRecord]
+        self,
+        didx: cobs_io.DeviceIndex,
+        records: list[FastxRecord],
+        raw: list[np.ndarray],
     ) -> list[QueryMatches]:
         """Score all queries against one batch index, device-chunked.
 
@@ -332,7 +369,7 @@ class Pipeline:
         align_reserve_mb = 1536  # two 640 MB flush slots + margin
         chunk_budget = max(256, self._hbm_transient_mb - align_reserve_mb)
         if mesh is None and didx.num_hashes == 1 and hbm_mb > chunk_budget:
-            return self._score_batch_chunked(didx, records, chunk_budget)
+            return self._score_batch_chunked(didx, records, raw, chunk_budget)
         key = matcher = None
         if self._index_cache is not None and hbm_mb <= self._index_cache.budget:
             key = (
@@ -352,11 +389,12 @@ class Pipeline:
             with self.sched.device_lock:
                 for off in range(0, len(records), chunk):
                     part = records[off : off + chunk]
-                    seqs = [r.seq.encode() for r in part]
                     # device-side threshold + top-k window: only the
                     # qualifying hits cross the relay, not [Q, D] scores
-                    hit_lists, n_keep = matcher.score_hits(
-                        seqs, self.cfg.cobs_kmer_thres, self.cfg.nb_best_hits
+                    hit_lists, n_keep = matcher.score_hits_raw(
+                        raw[off : off + chunk],
+                        self.cfg.cobs_kmer_thres,
+                        self.cfg.nb_best_hits,
                     )
                     for i, rec in enumerate(part):
                         hits = [
@@ -377,6 +415,7 @@ class Pipeline:
         self,
         didx: cobs_io.DeviceIndex,
         records: list[FastxRecord],
+        raw: list[np.ndarray],
         budget_mb: int,
     ) -> list[QueryMatches]:
         """Score one OVERSIZED batch by streaming signature-row blocks
@@ -397,8 +436,8 @@ class Pipeline:
         self.sched.hbm.acquire(budget_mb)
         try:
             with self.sched.device_lock:
-                hit_lists, n_keep = cm.score_hits(
-                    [r.seq.encode() for r in records],
+                hit_lists, n_keep = cm.score_hits_raw(
+                    raw,
                     self.cfg.cobs_kmer_thres,
                     self.cfg.nb_best_hits,
                 )

@@ -271,6 +271,46 @@ def run_golden_test(workdir: Path) -> bool:
     return True
 
 
+def write_perf_reads(
+    workdir: Path,
+    flat: list[tuple[str, bytes]],
+    n_reads: int,
+    read_seed: int,
+    hot_genomes: int = 64,
+    hot_frac: float = 0.8,
+    dup_frac: float = 0.15,
+) -> None:
+    """The perf fixture's query file, with realistic read-set structure:
+
+    * ``hot_frac`` of the reads come from ``hot_genomes`` genomes (coverage
+      clustering — overlapping reads that share k-mers, the regime the
+      match dedup path targets), the rest from the whole collection;
+    * ``dup_frac`` exact duplicates (PCR-duplicate analogue; the matcher's
+      row-set dedup collapses these);
+    * every other read reverse-complemented, 1/64 unplanted (junk).
+    """
+    read_rng = np.random.default_rng(read_seed)
+    from phylign_tpu.kmer import revcomp
+
+    hot = flat[: max(1, min(hot_genomes, len(flat)))]
+    seqs: list[bytes] = []
+    for i in range(n_reads):
+        if dup_frac > 0 and seqs and read_rng.random() < dup_frac:
+            seqs.append(seqs[int(read_rng.integers(0, len(seqs)))])
+            continue
+        if i % 64 == 63:
+            seqs.append(_rand_seq(read_rng, READ_LEN))  # unplanted
+            continue
+        pool = hot if read_rng.random() < hot_frac else flat
+        _, gseq = pool[int(read_rng.integers(0, len(pool)))]
+        pos = int(read_rng.integers(0, len(gseq) - READ_LEN))
+        seq = gseq[pos : pos + READ_LEN]
+        seqs.append(revcomp(seq) if i % 2 else seq)
+    with open(workdir / "input" / "perf_reads.fq", "w") as f:
+        for i, seq in enumerate(seqs):
+            f.write(f"@pr{i:05d}\n{seq.decode()}\n+\n{'I' * READ_LEN}\n")
+
+
 def make_perf_fixture(
     workdir: Path,
     n_batches: int = 2,
@@ -278,54 +318,52 @@ def make_perf_fixture(
     n_reads: int = 2048,
     seed: int = 100,
     read_seed: int | None = None,
-) -> None:
+    genome_len: tuple[int, int] = (20_000, 40_000),
+    fpr: float = 0.01,
+    reads_only: bool = False,
+) -> list[tuple[str, bytes]]:
     """A larger synthetic corpus for end-to-end throughput measurement
-    (bench.py --e2e): ``n_reads`` 150 bp reads sampled from random positions
-    of ``n_batches x genomes_per_batch`` genomes (half reverse-complemented,
-    1/64 unplanted), with the standard on-disk layout.
+    (bench.py --e2e): ``n_reads`` 150 bp reads over
+    ``n_batches x genomes_per_batch`` genomes with the standard on-disk
+    layout and the read-set structure of write_perf_reads.
 
     ``read_seed`` draws the READS from an independent stream so repeated
     runs can share an identical database (the production shape: the 305
     Zenodo batches are fixed across query workloads) while queries vary —
     that lets a second run exercise the content-hash device index cache
-    exactly like a repeated production run would."""
+    exactly like a repeated production run would. ``reads_only=True`` skips
+    the database build entirely (same ``seed`` => same genomes) and only
+    rewrites the query file, so warm and timed runs can share one workdir.
+    Returns the flat (accession, genome) list."""
     rng = np.random.default_rng(seed)
-    read_rng = np.random.default_rng(seed if read_seed is None else read_seed)
     workdir = Path(workdir)
     for d in ("input", "data", "cobs", "asms"):
         (workdir / d).mkdir(parents=True, exist_ok=True)
 
-    batches = [f"perf_{chr(ord('a') + b)}__01" for b in range(n_batches)]
+    batches = [f"perf_{bi:02d}__01" for bi in range(n_batches)]
     genomes: dict[str, dict[str, bytes]] = {}
     flat: list[tuple[str, bytes]] = []
     for bi, batch in enumerate(batches):
         gdict = {}
         for g in range(genomes_per_batch):
             acc = f"SAMP{bi:02d}{g:04d}"
-            gdict[acc] = _rand_seq(rng, int(rng.integers(20_000, 40_000)))
+            gdict[acc] = _rand_seq(rng, int(rng.integers(*genome_len)))
             flat.append((acc, gdict[acc]))
         genomes[batch] = gdict
 
-    with open(workdir / "input" / "perf_reads.fq", "w") as f:
-        for i in range(n_reads):
-            if i % 64 == 63:
-                seq = _rand_seq(read_rng, READ_LEN)  # unplanted
-            else:
-                _, gseq = flat[int(read_rng.integers(0, len(flat)))]
-                pos = int(read_rng.integers(0, len(gseq) - READ_LEN))
-                seq = gseq[pos : pos + READ_LEN]
-                if i % 2:
-                    from phylign_tpu.kmer import revcomp
-
-                    seq = revcomp(seq)
-            f.write(f"@pr{i:05d}\n{seq.decode()}\n+\n{'I' * READ_LEN}\n")
+    write_perf_reads(
+        workdir, flat, n_reads,
+        read_seed=seed if read_seed is None else read_seed,
+    )
+    if reads_only:
+        return flat
 
     from phylign_tpu.io import asmtar
     from phylign_tpu.io import cobs as cobs_io
 
     for batch in batches:
         docs = [(acc, [seq]) for acc, seq in sorted(genomes[batch].items())]
-        idx = cobs_io.build_classic_index(docs, term_size=31, fpr=0.01)
+        idx = cobs_io.build_classic_index(docs, term_size=31, fpr=fpr)
         cobs_io.write_classic_index(
             workdir / "cobs" / f"{batch}.cobs_classic.xz", idx
         )
@@ -342,3 +380,4 @@ def make_perf_fixture(
         "nb_best_hits: 5\n"
         "cobs_kmer_thres: 0.7\n"
     )
+    return flat

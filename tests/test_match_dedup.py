@@ -108,6 +108,85 @@ class TestDedupGate:
         assert u <= DEDUP_MAX_FRAC * idx.size + 1
 
 
+class TestScoreHitsRaw:
+    def test_raw_hash_path_identical(self):
+        """score_hits_raw (hash once, mod per batch) must equal score_hits
+        for both the resident Matcher and the row-chunked ChunkedMatcher,
+        across two batches with different signature sizes."""
+        from phylign_tpu.io import cobs as cobs_io
+        from phylign_tpu.kmer import cobs_kmer_hashes, encode_seq
+        from phylign_tpu.models.matcher import ChunkedMatcher, Matcher
+
+        rng = np.random.default_rng(21)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        reads = []
+        didxs = []
+        for b in range(2):
+            docs = []
+            for d in range(8):
+                s = bytes(rng.choice(bases, 400 + 37 * b))
+                docs.append((f"{d}_B{b}A{d:04d}", [s]))
+                if d % 2 == 0:
+                    reads.append(s[50:200])
+            didxs.append(
+                cobs_io.to_device_index(
+                    cobs_io.build_classic_index(docs, term_size=31, fpr=0.1)
+                )
+            )
+        reads.append(bytes(rng.choice(bases, 150)))
+        assert didxs[0].signature_size != didxs[1].signature_size
+        raw = [cobs_kmer_hashes(encode_seq(r), 31, 1) for r in reads]
+        for didx in didxs:
+            m = Matcher.from_device_index(didx)
+            h0, n0 = m.score_hits(reads, threshold=0.7, topn=3)
+            h1, n1 = m.score_hits_raw(raw, threshold=0.7, topn=3)
+            assert h0 == h1
+            np.testing.assert_array_equal(n0, n1)
+            cm = ChunkedMatcher.from_device_index(didx, hbm_budget_mb=1)
+            h2, n2 = cm.score_hits_raw(raw, threshold=0.7, topn=3)
+            assert h0 == h2
+            np.testing.assert_array_equal(n0, n2)
+
+    def test_cobs_kmer_hashes_mod_equals_rows(self):
+        from phylign_tpu.kmer import (
+            cobs_kmer_hashes,
+            cobs_row_indices,
+            encode_seq,
+            rows_from_hashes,
+        )
+
+        rng = np.random.default_rng(23)
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 500))
+        codes = encode_seq(seq)
+        for h in (1, 3):
+            raw = cobs_kmer_hashes(codes, 31, h)
+            for s in (101, 76206, 2**31 + 11):
+                np.testing.assert_array_equal(
+                    rows_from_hashes(raw, s),
+                    cobs_row_indices(codes, 31, s, h),
+                )
+
+    def test_numpy_native_hash_agreement(self):
+        import os
+
+        from phylign_tpu import native
+        from phylign_tpu.kmer import cobs_kmer_hashes, encode_seq
+
+        if native.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(29)
+        codes = encode_seq(bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 300)))
+        got = cobs_kmer_hashes(codes, 31, 2)
+        os.environ["PHYLIGN_TPU_NO_NATIVE"] = "1"
+        native._lib = None
+        try:
+            want = cobs_kmer_hashes(codes, 31, 2)
+        finally:
+            del os.environ["PHYLIGN_TPU_NO_NATIVE"]
+            native._lib = None
+        np.testing.assert_array_equal(got, want)
+
+
 class TestNativeUniqueInverse:
     def test_matches_numpy(self):
         from phylign_tpu import native
