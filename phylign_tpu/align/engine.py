@@ -1560,6 +1560,7 @@ def align_batch(
     mesh=None,
     device_lock=None,
     pair_chunk: int = 4096,
+    sketch_cache: dict[int, QuerySketch] | None = None,
 ) -> Iterator[SamRecord]:
     """Align a batch: stream candidate genomes out of the tar and emit SAM
     records (mirrors batch_align.py map_queries_to_batch, device-batched).
@@ -1570,12 +1571,18 @@ def align_batch(
     device_lock: optional lock serializing device submissions; held only
     around the pooled flush dispatch/drain, so tar streaming / ref indexing /
     anchor collection of OTHER batches overlaps this batch's device work.
+    sketch_cache: optional query-index -> QuerySketch dict SHARED across
+    batches of one run (a read with candidates in several batches is then
+    sketched once, not once per batch); callers must key it to one stable
+    `queries` list. Dict ops are GIL-atomic; a rare duplicate make() under
+    concurrent batch jobs is benign.
     """
     import contextlib
 
     _lk = device_lock if device_lock is not None else contextlib.nullcontext()
     rname_to_q: dict[str, list[int]] = {}
-    sketch_cache: dict[int, QuerySketch] = {}
+    if sketch_cache is None:
+        sketch_cache = {}
     for qi, fq in enumerate(queries):
         for _, acc, _ in fq.candidates:
             if batch_accessions is not None and acc not in batch_accessions:

@@ -67,6 +67,90 @@ def _topk_scores(
     )
 
 
+def _rows_from_hashes_dev(hi: jax.Array, lo: jax.Array, s: int) -> jax.Array:
+    """Bloom row ``(hi*2^32 + lo) % s`` elementwise in uint32-only ops.
+
+    The raw XXH64 hash is device-resident as two u32 words (TPUs have no
+    native 64-bit integers; the x64 flag is process-global and racy under
+    scheduler threads). With ``s`` static (< 2^31 — cobs signature sizes are
+    far below), ``(hi * 2^32) % s`` unrolls into 32 conditional adds of the
+    compile-time constants ``2^(32+k) % s`` with a subtract-reduce keeping
+    every intermediate < 2s < 2^32. Exact for all inputs; verified against
+    numpy uint64 in tests/test_match_dedup.py."""
+    su = jnp.uint32(s)
+    x = lo % su
+    one = jnp.uint32(1)
+    zero = jnp.uint32(0)
+    for k in range(32):
+        bk = (1 << (32 + k)) % s
+        if bk == 0:
+            continue
+        add = jnp.where((hi >> jnp.uint32(k)) & one != zero, jnp.uint32(bk), zero)
+        x = x + add
+        x = jnp.where(x >= su, x - su, x)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("s", "pad_row", "kk", "d"))
+def _hash_topk(
+    words: jax.Array,
+    hi: jax.Array,
+    lo: jax.Array,
+    nk: jax.Array,
+    cut: jax.Array,
+    *,
+    s: int,
+    pad_row: int,
+    kk: int,
+    d: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mod -> gather/popcount -> threshold+top-k as ONE device program over
+    device-RESIDENT raw query hashes: per batch only the [Q] cut vector and
+    the [Q, kk] hit window cross the link, not a [Q, K] row-index upload
+    (the reference re-runs `cobs query` per batch, re-reading the queries
+    305 times; Snakefile:419-427)."""
+    rows = _rows_from_hashes_dev(hi, lo, s).astype(jnp.int32)  # [Q, K, H]
+    col = jnp.arange(hi.shape[1], dtype=jnp.int32)
+    rows = jnp.where(col[None, :, None] < nk[:, None, None], rows, pad_row)
+    scores = match_scores_xla(words, rows)
+    return _topk_scores(scores, cut, kk, d)
+
+
+@dataclass
+class DeviceQueryHashes:
+    """One query chunk's raw k-mer hashes, resident on device.
+
+    Uploaded ONCE per read set (kmer.cobs_kmer_hashes output split into u32
+    halves) and reused by every batch's Matcher — the per-batch
+    ``% signature_size`` runs on device inside _hash_topk. ``raw`` keeps the
+    host copy for the fallback paths (segmented queries, huge doc counts,
+    top-k window overflow re-fetch)."""
+
+    hi: jax.Array  # uint32 [Q, K, H]
+    lo: jax.Array  # uint32 [Q, K, H]
+    n_kmers: np.ndarray  # int32 [Q] host
+    raw: list[np.ndarray]  # per-query uint64 [n, H] host
+
+    @classmethod
+    def build(
+        cls, raw: list[np.ndarray], k_bucket: int = 64
+    ) -> "DeviceQueryHashes":
+        nk = np.array([r.shape[0] for r in raw], np.int32)
+        h = raw[0].shape[1] if raw else 1
+        kp = round_up(int(nk.max(initial=1)), k_bucket)
+        hi = np.zeros((len(raw), kp, h), np.uint32)
+        lo = np.zeros((len(raw), kp, h), np.uint32)
+        for i, r in enumerate(raw):
+            hi[i, : r.shape[0]] = (r >> np.uint64(32)).astype(np.uint32)
+            lo[i, : r.shape[0]] = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi_d, lo_d = jax.device_put((hi, lo))  # one batched H2D round trip
+        return cls(hi=hi_d, lo=lo_d, n_kmers=nk, raw=raw)
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.hi.size + self.lo.size) * 4
+
+
 def _int_cut(threshold: float, n_kmers: np.ndarray) -> np.ndarray:
     """Smallest integer score satisfying ``score >= threshold * n`` in
     float64 (the host/reference comparison), per query. Queries with no
@@ -414,10 +498,20 @@ class Matcher:
                     dev_scores, jnp.asarray(_int_cut(threshold, n_kmers)), kk, d
                 )
             )
+        return self._window_hits(
+            vals, idx, n_keep, lambda q: per_query[q], threshold, k_max, kk
+        )
+
+    def _window_hits(
+        self, vals, idx, n_keep, rows_of, threshold: float, k_max: int, kk: int
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """Assemble per-query hit lists from a fetched top-k window; queries
+        whose qualifying set may overflow the window (n_keep > kk) re-score
+        via the full-matrix path using ``rows_of(q)`` host row indices."""
         n_keep = np.array(n_keep)  # device_get buffers are read-only
         hits: list[list[tuple[int, int]]] = []
         redo: list[int] = []
-        for q in range(len(per_query)):
+        for q in range(len(n_keep)):
             m = int(n_keep[q])
             take = min(m, kk)
             if m > kk:
@@ -431,7 +525,7 @@ class Matcher:
             )
         if redo:
             scores, keep, _ = self.score_rows(
-                [per_query[q] for q in redo], threshold, k_max
+                [rows_of(q) for q in redo], threshold, k_max
             )
             for row, q in enumerate(redo):
                 docs = np.nonzero(keep[row])[0]
@@ -439,6 +533,57 @@ class Matcher:
                 hits[q].sort(key=lambda t: (-t[1], t[0]))
                 n_keep[q] = len(hits[q])  # keep header count == emitted set
         return hits, n_keep.astype(np.int32)
+
+    def score_hits_hashes(
+        self,
+        dq: DeviceQueryHashes,
+        threshold: float,
+        topn: int,
+        k_max: int = 512,
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """score_hits over DEVICE-RESIDENT raw hashes: the per-batch row
+        computation (% signature_size) runs on device, so scoring a read set
+        against many batches uploads the queries once, not once per batch.
+        Bit-identical to score_hits_raw (tested); falls back to it for the
+        mesh / Pallas / segmented / huge-doc-count cases."""
+        d = len(self.doc_names)
+        if (
+            self.mesh is not None
+            or self.use_pallas
+            or self.dedup
+            or d == 0
+            or d > 65535
+            or dq.hi.shape[1] > k_max
+            or dq.hi.shape[2] != self.num_hashes
+            or self.signature_size >= 1 << 31  # u32 mod invariant
+        ):
+            return self.score_hits_raw(dq.raw, threshold, topn, k_max)
+        from phylign_tpu.kmer import rows_from_hashes
+
+        kk = min(d, round_up(min(topn + 33, d), 32))
+        cut = _int_cut(threshold, dq.n_kmers)
+        vals, idx, n_keep = jax.device_get(
+            _hash_topk(
+                self.words,
+                dq.hi,
+                dq.lo,
+                jnp.asarray(dq.n_kmers),
+                jnp.asarray(cut),
+                s=self.signature_size,
+                pad_row=self.pad_row,
+                kk=kk,
+                d=d,
+            )
+        )
+        return self._window_hits(
+            vals,
+            idx,
+            n_keep,
+            lambda q: rows_from_hashes(dq.raw[q], self.signature_size),
+            threshold,
+            k_max,
+            kk,
+        )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -13,12 +13,45 @@
 // numpy implementations remain as the portable fallback and test oracle.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <utility>
 #include <vector>
+
+// Run fn(begin, end) over [0, n) split into contiguous ranges, one per
+// worker thread. ctypes releases the GIL around every call into this
+// library, so threading here is real parallelism on many-core TPU hosts
+// (the production target; this dev VM has 2 vCPUs). Thread count:
+// PHYLIGN_TPU_NATIVE_THREADS env override, else hardware_concurrency,
+// capped at 16; small inputs run inline (thread spawn ~50 us each).
+template <typename F>
+static void parallel_ranges(int64_t n, int64_t min_per_thread, F fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("PHYLIGN_TPU_NATIVE_THREADS")) {
+    long v = std::atol(env);
+    if (v > 0) hw = (unsigned)v;
+  }
+  int64_t t = std::min<int64_t>(hw ? hw : 1, 16);
+  t = std::min(t, n / std::max<int64_t>(1, min_per_thread));
+  if (t <= 1) {
+    fn((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve((size_t)t);
+  int64_t chunk = (n + t - 1) / t;
+  for (int64_t i = 0; i < t; i++) {
+    int64_t b = i * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    workers.emplace_back([=] { fn(b, e); });
+  }
+  for (auto& w : workers) w.join();
+}
 
 extern "C" {
 
@@ -364,45 +397,54 @@ int64_t anchors_count2(const uint64_t* uh, const int64_t* us,
                        int64_t* m_lo, int32_t* m_np, int32_t* m_nm,
                        int64_t* gcount /* [2*n_queries], zeroed by caller */,
                        int64_t* rep_len /* [n_queries], zeroed by caller */) {
-  int64_t total = 0;
-  for (int64_t q = 0; q < n_queries; q++) {
-    int64_t rep_st = -1, rep_en = -1;  // current merged repeat span
-    for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
-      uint64_t h = qh[m];
-      const uint64_t* it = std::lower_bound(uh, uh + n_uniq, h);
-      int64_t np = 0, nm = 0, lo = 0;
-      if (it != uh + n_uniq && *it == h) {
-        int64_t u = it - uh;
-        int64_t cnt = ucnt[u];
-        if (cnt > max_occ) {
-          // high-frequency seed: drop, but count its query span toward the
-          // repeat length (spans arrive position-sorted; merge overlaps)
-          int64_t st = qpos[m], en = st + k;
-          if (st > rep_en) {
-            if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
-            rep_st = st;
-            rep_en = en;
-          } else if (en > rep_en) {
-            rep_en = en;
-          }
-        } else if (cnt > 0) {
-          lo = us[u];
-          uint8_t qs = qstrand[m];
-          for (int64_t o = lo; o < lo + cnt; o++) {
-            if (sort_strand[o] != qs) nm++;
-            else np++;
+  // queries are independent (all per-q outputs are disjoint); parallelize
+  // across query ranges with per-thread totals
+  std::vector<int64_t> partial(16, 0);
+  std::atomic<int> tix{0};
+  parallel_ranges(n_queries, 256, [&](int64_t qb, int64_t qe) {
+    int64_t total = 0;
+    for (int64_t q = qb; q < qe; q++) {
+      int64_t rep_st = -1, rep_en = -1;  // current merged repeat span
+      for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
+        uint64_t h = qh[m];
+        const uint64_t* it = std::lower_bound(uh, uh + n_uniq, h);
+        int64_t np = 0, nm = 0, lo = 0;
+        if (it != uh + n_uniq && *it == h) {
+          int64_t u = it - uh;
+          int64_t cnt = ucnt[u];
+          if (cnt > max_occ) {
+            // high-frequency seed: drop, but count its query span toward the
+            // repeat length (spans arrive position-sorted; merge overlaps)
+            int64_t st = qpos[m], en = st + k;
+            if (st > rep_en) {
+              if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
+              rep_st = st;
+              rep_en = en;
+            } else if (en > rep_en) {
+              rep_en = en;
+            }
+          } else if (cnt > 0) {
+            lo = us[u];
+            uint8_t qs = qstrand[m];
+            for (int64_t o = lo; o < lo + cnt; o++) {
+              if (sort_strand[o] != qs) nm++;
+              else np++;
+            }
           }
         }
+        m_lo[m] = lo;
+        m_np[m] = np;
+        m_nm[m] = nm;
+        gcount[2 * q] += np;
+        gcount[2 * q + 1] += nm;
+        total += np + nm;
       }
-      m_lo[m] = lo;
-      m_np[m] = np;
-      m_nm[m] = nm;
-      gcount[2 * q] += np;
-      gcount[2 * q + 1] += nm;
-      total += np + nm;
+      if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
     }
-    if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
-  }
+    partial[(size_t)(tix++ & 15)] += total;
+  });
+  int64_t total = 0;
+  for (int64_t p : partial) total += p;
   return total;
 }
 
@@ -416,39 +458,44 @@ void anchors_fill(const int32_t* sort_pos, const uint8_t* sort_strand,
                   int32_t* out_rpos, int32_t* out_qpos) {
   std::vector<int64_t> cur(2 * (size_t)n_queries);
   for (int64_t g = 0; g < 2 * n_queries; g++) cur[g] = bounds[g];
-  for (int64_t q = 0; q < n_queries; q++) {
-    for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
-      int64_t cnt = m_np[m] + m_nm[m];
-      if (cnt == 0) continue;
-      uint8_t qs = qstrand[m];
-      int64_t qp_fwd = qpos[m];
-      int64_t qp_rev = qlen[q] - k - qpos[m];
-      for (int64_t o = m_lo[m]; o < m_lo[m] + cnt; o++) {
-        bool rel = sort_strand[o] != qs;
-        int64_t g = 2 * q + (rel ? 1 : 0);
-        int64_t at = cur[g]++;
-        out_rpos[at] = sort_pos[o];
-        out_qpos[at] = (int32_t)(rel ? qp_rev : qp_fwd);
+  // both passes are query-independent (group g = 2q+strand is owned by
+  // exactly one query, so cur[g] and the [bounds[g], bounds[g+1]) output
+  // ranges are thread-disjoint); parallelize across query ranges
+  parallel_ranges(n_queries, 256, [&](int64_t qb, int64_t qe) {
+    for (int64_t q = qb; q < qe; q++) {
+      for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
+        int64_t cnt = m_np[m] + m_nm[m];
+        if (cnt == 0) continue;
+        uint8_t qs = qstrand[m];
+        int64_t qp_fwd = qpos[m];
+        int64_t qp_rev = qlen[q] - k - qpos[m];
+        for (int64_t o = m_lo[m]; o < m_lo[m] + cnt; o++) {
+          bool rel = sort_strand[o] != qs;
+          int64_t g = 2 * q + (rel ? 1 : 0);
+          int64_t at = cur[g]++;
+          out_rpos[at] = sort_pos[o];
+          out_qpos[at] = (int32_t)(rel ? qp_rev : qp_fwd);
+        }
       }
     }
-  }
-  // per-group (rpos, qpos) sort: pack into one u64 (both are non-negative
-  // int32s) so the sort is single-key
-  std::vector<uint64_t> keys;
-  for (int64_t g = 0; g < 2 * n_queries; g++) {
-    int64_t a = bounds[g], b = bounds[g + 1];
-    int64_t len = b - a;
-    if (len <= 1) continue;
-    keys.resize((size_t)len);
-    for (int64_t i = 0; i < len; i++)
-      keys[(size_t)i] = ((uint64_t)(uint32_t)out_rpos[a + i] << 32) |
-                        (uint64_t)(uint32_t)out_qpos[a + i];
-    std::sort(keys.begin(), keys.end());
-    for (int64_t i = 0; i < len; i++) {
-      out_rpos[a + i] = (int32_t)(keys[(size_t)i] >> 32);
-      out_qpos[a + i] = (int32_t)(keys[(size_t)i] & 0xFFFFFFFFu);
+    // per-group (rpos, qpos) sort: pack into one u64 (both are non-negative
+    // int32s) so the sort is single-key
+    std::vector<uint64_t> keys;
+    for (int64_t g = 2 * qb; g < 2 * qe; g++) {
+      int64_t a = bounds[g], b = bounds[g + 1];
+      int64_t len = b - a;
+      if (len <= 1) continue;
+      keys.resize((size_t)len);
+      for (int64_t i = 0; i < len; i++)
+        keys[(size_t)i] = ((uint64_t)(uint32_t)out_rpos[a + i] << 32) |
+                          (uint64_t)(uint32_t)out_qpos[a + i];
+      std::sort(keys.begin(), keys.end());
+      for (int64_t i = 0; i < len; i++) {
+        out_rpos[a + i] = (int32_t)(keys[(size_t)i] >> 32);
+        out_qpos[a + i] = (int32_t)(keys[(size_t)i] & 0xFFFFFFFFu);
+      }
     }
-  }
+  });
 }
 
 // ----------------------------------------------- match-dedup unique+inverse

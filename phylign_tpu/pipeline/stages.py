@@ -61,6 +61,48 @@ log = logging.getLogger("phylign_tpu.pipeline")
 _warmed = False
 
 
+class QuerySet:
+    """One merged read set, prepared once and shared across batch match jobs.
+
+    records    parsed merged FASTA records (output order);
+    rep_of     int64 [n_records] -> index into the UNIQUE query list
+               (duplicate reads / RC duplicates share canonical k-mer
+               multisets, so they score identically against every batch);
+    uraw       per-unique-query raw XXH64 hashes (uint64 [n, H]);
+    device_chunk(off, size) lazily uploads a unique-query slice's hashes to
+    the device ONCE (models.matcher.DeviceQueryHashes) — every batch then
+    mods + gathers on device with no per-batch query upload."""
+
+    def __init__(
+        self,
+        records: list[FastxRecord],
+        rep_of: np.ndarray,
+        uraw: list[np.ndarray],
+    ):
+        import threading
+
+        self.records = records
+        self.rep_of = rep_of
+        self.uraw = uraw
+        self._dq: dict = {}
+        self._lock = threading.Lock()
+
+    def raw_per_record(self) -> list[np.ndarray]:
+        return [self.uraw[j] for j in self.rep_of]
+
+    def device_chunk(self, off: int, size: int):
+        from phylign_tpu.models.matcher import DeviceQueryHashes
+
+        key = (off, size)
+        with self._lock:
+            hit = self._dq.get(key)
+        if hit is not None:
+            return hit
+        dq = DeviceQueryHashes.build(self.uraw[off : off + size])
+        with self._lock:
+            return self._dq.setdefault(key, dq)
+
+
 class _IndexCache:
     """Device-resident Matcher cache keyed by index CONTENT hash.
 
@@ -248,28 +290,37 @@ class Pipeline:
 
     # --- stage 2+3: match ----------------------------------------------------
 
-    def _query_set(
-        self, stem: str, term_size: int, num_hashes: int
-    ) -> tuple[list[FastxRecord], list[np.ndarray]]:
-        """Parsed merged queries + their raw k-mer hashes, computed ONCE per
-        (stem, k, H) and shared by every batch's match job (per-batch work
-        is then just `hash % signature_size`)."""
-        key = (stem, term_size, num_hashes)
+    def _query_set(self, stem: str, term_size: int, num_hashes: int) -> "QuerySet":
+        """The merged read set prepared ONCE per (stem, k, H) and shared by
+        every batch's match job: parsed records, raw k-mer hashes (a Bloom
+        row is just `hash % signature_size` per batch), the duplicate-read
+        dedup (identical canonical k-mer multisets score identically against
+        EVERY batch), and lazily-uploaded device-resident hash chunks. The
+        reference re-runs `cobs query` per batch, re-reading and re-hashing
+        the same reads 305 times (Snakefile:419-427)."""
+        src = self.merged_fa(stem)
+        st = src.stat()  # mtime+size key: a regenerated file invalidates
+        key = ("match", stem, term_size, num_hashes, st.st_mtime_ns, st.st_size)
         with self._query_cache_lock:
             hit = self._query_cache.get(key)
         if hit is not None:
             return hit
         from phylign_tpu.kmer import cobs_kmer_hashes, encode_seq
+        from phylign_tpu.models.matcher import _dedup_row_sets
 
-        records = list(read_fastx_file(self.merged_fa(stem)))
+        records = list(read_fastx_file(src))
         raw = [
             cobs_kmer_hashes(encode_seq(r.seq.encode()), term_size, num_hashes)
             for r in records
         ]
+        rep_of, uraw = _dedup_row_sets(raw)
+        qs = QuerySet(records, np.asarray(rep_of, np.int64), uraw)
         with self._query_cache_lock:
-            self._query_cache.clear()  # one read set live at a time
-            self._query_cache[key] = (records, raw)
-        return records, raw
+            # one read set live at a time per cache family
+            for k in [k for k in self._query_cache if k[0] == "match"]:
+                del self._query_cache[k]
+            self._query_cache[key] = qs
+        return qs
 
     def match_one_batch(self, batch: str, stem: str) -> Path:
         out = self.match_path(batch, stem)
@@ -277,10 +328,8 @@ class Pipeline:
             return out
         with benchmark(self.logs, "run_cobs", f"{batch}____{stem}"):
             didx = self._load_index(batch)
-            records, raw = self._query_set(
-                stem, didx.term_size, didx.num_hashes
-            )
-            matches = self._score_batch(didx, records, raw)
+            qs = self._query_set(stem, didx.term_size, didx.num_hashes)
+            matches = self._score_batch(didx, qs)
             tmp, commit = atomic_write_via(out)
             with xopen_write(tmp) as f:
                 write_match_file(f, matches, keep=self.cfg.nb_best_hits)
@@ -341,20 +390,22 @@ class Pipeline:
                 shutil.rmtree(t)
 
     def _score_batch(
-        self,
-        didx: cobs_io.DeviceIndex,
-        records: list[FastxRecord],
-        raw: list[np.ndarray],
+        self, didx: cobs_io.DeviceIndex, qs: QuerySet
     ) -> list[QueryMatches]:
         """Score all queries against one batch index, device-chunked.
+
+        Only UNIQUE queries are scored (qs.rep_of broadcasts the results to
+        duplicates), and on the resident single-chip path their hashes are
+        device-resident: the per-batch work is a cut-vector upload + one
+        mod->gather->top-k program + the hit-window fetch.
 
         The index upload (device_put, async) runs OUTSIDE the device lock so
         the next batch's H2D transfer overlaps the current batch's scoring
         compute — through this environment's relay the upload is the dominant
         per-batch device cost. The HBM accountant bounds how many indexes are
         resident at once."""
+        records = qs.records
         use_device = didx.num_docs > 0 and len(records) > 0
-        matches: list[QueryMatches] = []
         if not use_device:
             return [QueryMatches(r.name, 0, []) for r in records]
         from phylign_tpu.models.matcher import device_index_bytes
@@ -369,7 +420,7 @@ class Pipeline:
         align_reserve_mb = 1536  # two 640 MB flush slots + margin
         chunk_budget = max(256, self._hbm_transient_mb - align_reserve_mb)
         if mesh is None and didx.num_hashes == 1 and hbm_mb > chunk_budget:
-            return self._score_batch_chunked(didx, records, raw, chunk_budget)
+            return self._score_batch_chunked(didx, qs, chunk_budget)
         key = matcher = None
         if self._index_cache is not None and hbm_mb <= self._index_cache.budget:
             key = (
@@ -385,38 +436,61 @@ class Pipeline:
                 matcher = Matcher.from_device_index(didx, mesh=mesh)
             matcher.dedup = self.cfg.match_dedup
             chunk = self.cfg.device_query_chunk
-            names = np.asarray(didx.doc_names)
+            hits_u: list[list[tuple[int, int]]] = []
+            nk_u: list[int] = []
+            use_hashes = (
+                mesh is None
+                and not matcher.dedup
+                and didx.num_docs <= 65535
+            )
             with self.sched.device_lock:
-                for off in range(0, len(records), chunk):
-                    part = records[off : off + chunk]
+                for off in range(0, len(qs.uraw), chunk):
                     # device-side threshold + top-k window: only the
                     # qualifying hits cross the relay, not [Q, D] scores
-                    hit_lists, n_keep = matcher.score_hits_raw(
-                        raw[off : off + chunk],
-                        self.cfg.cobs_kmer_thres,
-                        self.cfg.nb_best_hits,
-                    )
-                    for i, rec in enumerate(part):
-                        hits = [
-                            (str(names[di]), sc) for di, sc in hit_lists[i]
-                        ]
-                        hits.sort(key=lambda x: (-x[1], x[0]))
-                        matches.append(
-                            QueryMatches(rec.name, int(n_keep[i]), hits)
+                    if use_hashes:
+                        hl, nk = matcher.score_hits_hashes(
+                            qs.device_chunk(off, chunk),
+                            self.cfg.cobs_kmer_thres,
+                            self.cfg.nb_best_hits,
                         )
+                    else:
+                        hl, nk = matcher.score_hits_raw(
+                            qs.uraw[off : off + chunk],
+                            self.cfg.cobs_kmer_thres,
+                            self.cfg.nb_best_hits,
+                        )
+                    hits_u.extend(hl)
+                    nk_u.extend(int(x) for x in nk)
         finally:
             if transient:
                 if key is not None and self._index_cache.put(key, matcher, hbm_mb):
                     pass  # ownership moved to the cache's carved-out budget
                 self.sched.hbm.release(hbm_mb)
-        return matches
+        return self._broadcast_matches(didx, qs, hits_u, nk_u)
+
+    @staticmethod
+    def _broadcast_matches(
+        didx: cobs_io.DeviceIndex,
+        qs: QuerySet,
+        hits_u: list[list[tuple[int, int]]],
+        nk_u: Sequence[int],
+    ) -> list[QueryMatches]:
+        """Per-record QueryMatches from unique-query hit lists: resolve doc
+        names + sort once per UNIQUE query, share the list across duplicate
+        records (read-only downstream)."""
+        names = didx.doc_names
+        named_u: list[list[tuple[str, int]]] = []
+        for hl in hits_u:
+            hits = [(names[di], sc) for di, sc in hl]
+            hits.sort(key=lambda x: (-x[1], x[0]))
+            named_u.append(hits)
+        return [
+            QueryMatches(rec.name, int(nk_u[j]), named_u[j])
+            for rec, j in zip(qs.records, qs.rep_of)
+        ]
 
     def _score_batch_chunked(
-        self,
-        didx: cobs_io.DeviceIndex,
-        records: list[FastxRecord],
-        raw: list[np.ndarray],
-        budget_mb: int,
+        self, didx: cobs_io.DeviceIndex, qs: QuerySet, budget_mb: int
     ) -> list[QueryMatches]:
         """Score one OVERSIZED batch by streaming signature-row blocks
         (models.matcher.ChunkedMatcher): the index never sits resident, so
@@ -431,23 +505,17 @@ class Pipeline:
             didx.doc_names[0] if didx.doc_names else "?", budget_mb,
         )
         cm = ChunkedMatcher.from_device_index(didx, hbm_budget_mb=budget_mb)
-        names = np.asarray(didx.doc_names)
-        matches: list[QueryMatches] = []
         self.sched.hbm.acquire(budget_mb)
         try:
             with self.sched.device_lock:
-                hit_lists, n_keep = cm.score_hits_raw(
-                    raw,
+                hits_u, nk_u = cm.score_hits_raw(
+                    qs.uraw,
                     self.cfg.cobs_kmer_thres,
                     self.cfg.nb_best_hits,
                 )
         finally:
             self.sched.hbm.release(budget_mb)
-        for i, rec in enumerate(records):
-            hits = [(str(names[di]), sc) for di, sc in hit_lists[i]]
-            hits.sort(key=lambda x: (-x[1], x[0]))
-            matches.append(QueryMatches(rec.name, int(n_keep[i]), hits))
-        return matches
+        return self._broadcast_matches(didx, qs, hits_u, [int(x) for x in nk_u])
 
     @staticmethod
     def _index_hash(didx: cobs_io.DeviceIndex) -> str:
@@ -616,6 +684,28 @@ class Pipeline:
 
     # --- stage 5: align ------------------------------------------------------
 
+    def _filtered_query_set(self, stem: str):
+        """Parsed filtered queries + a shared sketch cache, loaded ONCE per
+        stem and reused by every batch's align job (the reference re-reads
+        the 04_filter FASTA and batch_align.py re-builds its query dicts per
+        batch, 305x; ref Snakefile:549-555). The sketch dict is shared
+        across concurrent batch jobs — align_batch fills it lazily."""
+        src = self.filter_path(stem)
+        st = src.stat()  # mtime+size key: a regenerated file invalidates
+        key = ("filtered", stem, st.st_mtime_ns, st.st_size)
+        with self._query_cache_lock:
+            hit = self._query_cache.get(key)
+        if hit is not None:
+            return hit
+        queries = read_filtered_fasta(read_fastx_file(src))
+        val = (queries, {})
+        with self._query_cache_lock:
+            # one read set live at a time per cache family
+            for k in [k for k in self._query_cache if k[0] == "filtered"]:
+                del self._query_cache[k]
+            self._query_cache[key] = val
+        return val
+
     def align_one_batch(
         self, batch: str, stem: str, accessions: set[str] | None
     ) -> Path:
@@ -623,7 +713,7 @@ class Pipeline:
         if self.manifest.done("map", f"{batch}____{stem}", [str(out)]):
             return out
         with benchmark(self.logs, "batch_align", f"{batch}____{stem}"):
-            queries = read_filtered_fasta(read_fastx_file(self.filter_path(stem)))
+            queries, sketches = self._filtered_query_set(stem)
             params = AlignParams.from_preset(
                 self.cfg.minimap_preset, self.cfg.minimap_extra_params
             )
@@ -636,6 +726,7 @@ class Pipeline:
                     mesh=self.mesh(),
                     device_lock=self.sched.flush_slot(),
                     pair_chunk=self.cfg.device_pair_chunk,
+                    sketch_cache=sketches,
                 )
             )
             tmp, commit = atomic_write_via(out)

@@ -136,16 +136,42 @@ class TestScoreHitsRaw:
         reads.append(bytes(rng.choice(bases, 150)))
         assert didxs[0].signature_size != didxs[1].signature_size
         raw = [cobs_kmer_hashes(encode_seq(r), 31, 1) for r in reads]
+        from phylign_tpu.models.matcher import DeviceQueryHashes
+
+        dq = DeviceQueryHashes.build(raw)
         for didx in didxs:
             m = Matcher.from_device_index(didx)
             h0, n0 = m.score_hits(reads, threshold=0.7, topn=3)
             h1, n1 = m.score_hits_raw(raw, threshold=0.7, topn=3)
             assert h0 == h1
             np.testing.assert_array_equal(n0, n1)
+            # device-resident hashes: one upload serves BOTH signature sizes
+            h3, n3 = m.score_hits_hashes(dq, threshold=0.7, topn=3)
+            assert h0 == h3
+            np.testing.assert_array_equal(n0, n3)
             cm = ChunkedMatcher.from_device_index(didx, hbm_budget_mb=1)
             h2, n2 = cm.score_hits_raw(raw, threshold=0.7, topn=3)
             assert h0 == h2
             np.testing.assert_array_equal(n0, n2)
+
+    def test_device_mod_exact(self):
+        """_rows_from_hashes_dev (u32-only 64-bit mod) must equal numpy
+        uint64 remainder for adversarial hashes and signature sizes."""
+        import jax
+
+        from phylign_tpu.models.matcher import _rows_from_hashes_dev
+
+        rng = np.random.default_rng(31)
+        h = rng.integers(0, 2**64, (4096,), dtype=np.uint64)
+        h[:8] = [0, 1, 2**32 - 1, 2**32, 2**63, 2**64 - 1, 76206791, 2**33 + 7]
+        hi = (h >> np.uint64(32)).astype(np.uint32)
+        lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        for s in (1, 2, 3, 101, 22329, 76206791, 2**31 - 1):
+            got = np.asarray(
+                jax.jit(_rows_from_hashes_dev, static_argnums=2)(hi, lo, s)
+            )
+            want = (h % np.uint64(s)).astype(np.uint32)
+            np.testing.assert_array_equal(got, want, err_msg=f"s={s}")
 
     def test_cobs_kmer_hashes_mod_equals_rows(self):
         from phylign_tpu.kmer import (
