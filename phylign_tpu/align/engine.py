@@ -882,6 +882,13 @@ def flush_pairs_host(
     """Chain + extend a pool of pairs (possibly spanning many genomes) as
     fixed-shape device batches; emit one record per pair in pool order.
     With a mesh, chain and extension run dp-sharded over the pairs axis."""
+    return [r for g in flush_pairs_host_grouped(tasks, params, mesh) for r in g]
+
+
+def flush_pairs_host_grouped(
+    tasks: list[PairTask], params: AlignParams, mesh=None
+) -> list[list[SamRecord]]:
+    """flush_pairs_host with one record group per task (pool order)."""
     if not tasks:
         return []
     anchor_sets: list[opm.Anchors] = []
@@ -970,8 +977,19 @@ def flush_pairs_host(
                 picked.append(c)
 
     records = _extend_items(tasks, chained, params, mesh)
+    return _group_task_records(tasks, records, params)
 
-    out = []
+
+def _group_task_records(
+    tasks: list[PairTask],
+    records: dict[tuple[int, int], SamRecord],
+    params: AlignParams,
+) -> list[list[SamRecord]]:
+    """Per-task record groups from keyed (ti, seg) records: primary first
+    (promoting the best supplementary when the primary chain failed
+    extension — minimap2 would have selected it the same way), then
+    hard-clipped supplementaries; an unmapped record when nothing survived."""
+    out: list[list[SamRecord]] = []
     for ti, t in enumerate(tasks):
         rec_p = records.get((ti, 0))
         sups = [
@@ -980,15 +998,12 @@ def flush_pairs_host(
             if (ti, s) in records
         ]
         if rec_p is None and sups:
-            # the best chain failed extension: the surviving best segment IS
-            # the primary (minimap2 would have selected it the same way)
             rec_p = dataclasses.replace(sups[0], flag=sups[0].flag & ~2048)
             sups = sups[1:]
         if rec_p is None:
-            out.append(unmapped_record(t.sketch.name, t.sketch.seq))
+            out.append([unmapped_record(t.sketch.name, t.sketch.seq)])
             continue
-        out.append(rec_p)
-        out.extend(_hard_clip(r) for r in sups)
+        out.append([rec_p] + [_hard_clip(r) for r in sups])
     return out
 
 
@@ -1418,7 +1433,8 @@ class FusedFlush:
     mesh: object
     inflight: list[_FusedCtx]
     queued: list[list[int]]  # chunk tis not yet dispatched
-    host_records: list[SamRecord] | None = None  # host-path fallback result
+    # host-path fallback result: one record group per task (pool order)
+    host_records: list[list[SamRecord]] | None = None
 
 
 _FUSED_DEPTH = 2  # dispatched-ahead fused chunks per flush
@@ -1437,7 +1453,7 @@ def flush_pairs_begin(
     if not fused:
         return FusedFlush(
             tasks=tasks, params=params, mesh=mesh, inflight=[], queued=[],
-            host_records=flush_pairs_host(tasks, params, mesh),
+            host_records=flush_pairs_host_grouped(tasks, params, mesh),
         )
     by_lb: dict[int, list[int]] = {}
     for ti, t in enumerate(tasks):
@@ -1464,6 +1480,15 @@ def flush_pairs_end(ff: FusedFlush) -> list[SamRecord]:
     assemble pool-order records."""
     if ff.host_records is not None:
         return ff.host_records
+    return [r for g in flush_pairs_end_grouped(ff) for r in g]
+
+
+def flush_pairs_end_grouped(ff: FusedFlush) -> list[list[SamRecord]]:
+    """flush_pairs_end returning one record group PER TASK (pool order):
+    lets callers pooling pairs across batches route each pair's records back
+    to its source batch."""
+    if ff.host_records is not None:
+        return ff.host_records
     tasks, params, mesh = ff.tasks, ff.params, ff.mesh
     records: dict[tuple[int, int], SamRecord] = {}
     delegated: list = []
@@ -1477,24 +1502,7 @@ def flush_pairs_end(ff: FusedFlush) -> list[SamRecord]:
             )
     if delegated:
         records.update(_extend_items(tasks, delegated, params, mesh))
-
-    out = []
-    for ti, t in enumerate(tasks):
-        rec_p = records.get((ti, 0))
-        sups = [
-            records[(ti, s)]
-            for s in range(1, params.max_segments)
-            if (ti, s) in records
-        ]
-        if rec_p is None and sups:
-            rec_p = dataclasses.replace(sups[0], flag=sups[0].flag & ~2048)
-            sups = sups[1:]
-        if rec_p is None:
-            out.append(unmapped_record(t.sketch.name, t.sketch.seq))
-            continue
-        out.append(rec_p)
-        out.extend(_hard_clip(r) for r in sups)
-    return out
+    return _group_task_records(tasks, records, params)
 
 
 def flush_pairs_fused(
@@ -1646,3 +1654,183 @@ def align_batch(
     if pending is not None:
         yield from _end(pending)
     yield from _end(nxt)
+
+
+@dataclass
+class _PoolSeg:
+    """One producer-built segment of align pairs: ``batch`` is the spec
+    index, ``final`` marks the batch's last segment (possibly empty)."""
+
+    batch: int
+    tasks: list[PairTask]
+    final: bool
+
+
+def align_batches_pooled(
+    specs: Sequence[tuple[str, str, set[str] | None]],
+    queries: Sequence[FilteredQuery],
+    params: AlignParams = AlignParams(),
+    mesh=None,
+    device_lock=None,
+    pair_chunk: int = 16384,
+    sketch_cache: dict[int, QuerySketch] | None = None,
+    producers: int = 2,
+) -> Iterator[tuple[str, list[SamRecord]]]:
+    """Align MANY batches with one shared device-flush pipeline, pooling
+    (query, genome) pairs ACROSS batch boundaries.
+
+    The reference's unit of work is one minimap2 process per candidate
+    genome within one batch (/root/reference/scripts/batch_align.py:416-486);
+    per-batch pooling (align_batch) already batches a genome's pairs, but a
+    run over hundreds of batches leaves most flushes far below the device
+    sweet spot — a 305-batch production run degenerates into hundreds of
+    small dispatches whose fixed cost dominates. Batch boundaries are a file
+    -layout artifact, not a device constraint: this coordinator keeps ONE
+    rolling pool fed by ``producers`` threads streaming tar/anchor host work
+    in parallel, flushes at ``pair_chunk`` regardless of which batch the
+    pairs came from, and routes each pair's records back to its source batch
+    (flush_pairs_end_grouped). Yields (batch_name, records) as batches
+    complete (completion order, not spec order); per-batch record order is
+    identical to align_batch's (tar order x filtered-query order).
+    """
+    import contextlib
+    import queue as _queue
+    import threading
+
+    if not specs:
+        return
+    _lk = device_lock if device_lock is not None else contextlib.nullcontext()
+    if sketch_cache is None:
+        sketch_cache = {}
+    seg_q: _queue.Queue = _queue.Queue(maxsize=max(4, 2 * producers))
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    # candidate map per batch is built inside the producer (it is cheap
+    # relative to tar streaming and parallelizes with it)
+    def _produce(bi: int, name: str, tar_path: str, accs: set[str] | None):
+        try:
+            rname_to_q: dict[str, list[int]] = {}
+            for qi, fq in enumerate(queries):
+                for _, acc, _ in fq.candidates:
+                    if accs is not None and acc not in accs:
+                        continue
+                    rname_to_q.setdefault(acc, []).append(qi)
+            seg: list[PairTask] = []
+            seg_ref_bytes = 0
+            # per-segment ref pin budget: the coordinator holds at most
+            # queue-size + pool segments alive, so each stays modest
+            ref_budget = 128 << 20
+            for rname, contigs in iter_batch_assemblies(
+                tar_path, set(rname_to_q)
+            ):
+                if stop.is_set():
+                    return
+                ref = opm.build_ref_index(
+                    rname, contigs, params.k, params.w, hpc=params.hpc
+                )
+                sks = []
+                for qi in rname_to_q[rname]:
+                    sk = sketch_cache.get(qi)
+                    if sk is None:
+                        fq = queries[qi]
+                        sk = sketch_cache.setdefault(
+                            qi, QuerySketch.make(fq.qname, fq.seq, params)
+                        )
+                    sks.append(sk)
+                seg.extend(make_pairs_batch(ref, sks, params))
+                seg_ref_bytes += ref.codes.nbytes + 2 * ref.sort_hash.nbytes
+                if len(seg) >= pair_chunk or seg_ref_bytes >= ref_budget:
+                    seg_q.put(_PoolSeg(bi, seg, False))
+                    seg, seg_ref_bytes = [], 0
+            seg_q.put(_PoolSeg(bi, seg, True))
+        except BaseException as e:  # surfaced by the coordinator
+            errors.append(e)
+            seg_q.put(_PoolSeg(bi, [], True))
+
+    threads: list[threading.Thread] = []
+    next_spec = 0
+    n_final = 0
+
+    def _spawn():
+        # keep exactly min(producers, remaining) batches in flight, counted
+        # by started-minus-finalized (is_alive() races the final marker)
+        nonlocal next_spec
+        while next_spec < len(specs) and (next_spec - n_final) < producers:
+            bi = next_spec
+            next_spec += 1
+            t = threading.Thread(
+                target=_produce, args=(bi, *specs[bi]), daemon=True
+            )
+            t.start()
+            threads.append(t)
+
+    _spawn()
+
+    results: dict[int, list[SamRecord]] = {i: [] for i in range(len(specs))}
+    pending_pairs = [0] * len(specs)  # pairs seen but not yet drained
+    final_seen = [False] * len(specs)
+    emitted = [False] * len(specs)
+    pool: list[PairTask] = []
+    owners: list[int] = []  # batch index per pool entry
+    inflight: tuple[FusedFlush, list[int]] | None = None
+
+    def _drain(fl: tuple[FusedFlush, list[int]]):
+        ff, own = fl
+        with _lk:
+            groups = flush_pairs_end_grouped(ff)
+        for bi, grp in zip(own, groups):
+            results[bi].extend(grp)
+            pending_pairs[bi] -= 1
+
+    def _flush_now():
+        nonlocal inflight, pool, owners
+        with _lk:
+            nxt = flush_pairs_begin(pool, params, mesh)
+        prev, inflight = inflight, (nxt, owners)
+        pool, owners = [], []
+        if prev is not None:
+            _drain(prev)
+
+    def _emit_ready():
+        for bi in range(len(specs)):
+            if final_seen[bi] and not emitted[bi] and pending_pairs[bi] == 0:
+                emitted[bi] = True
+                yield specs[bi][0], results.pop(bi)
+
+    try:
+        while n_final < len(specs):
+            seg = seg_q.get()
+            if errors:
+                raise errors[0]
+            if seg.tasks:
+                pool.extend(seg.tasks)
+                owners.extend([seg.batch] * len(seg.tasks))
+                pending_pairs[seg.batch] += len(seg.tasks)
+            if seg.final:
+                final_seen[seg.batch] = True
+                n_final += 1
+                _spawn()
+            if len(pool) >= pair_chunk:
+                _flush_now()
+            if seg.final or len(pool) == 0:
+                yield from _emit_ready()
+        if pool:
+            _flush_now()
+        if inflight is not None:
+            _drain(inflight)
+            inflight = None
+        if errors:
+            raise errors[0]
+        yield from _emit_ready()
+    finally:
+        stop.set()
+        # unblock producers that may be parked on a full queue, then join
+        for t in threads:
+            while t.is_alive():
+                try:
+                    while True:
+                        seg_q.get_nowait()
+                except _queue.Empty:
+                    pass
+                t.join(timeout=0.2)

@@ -751,19 +751,63 @@ class Pipeline:
 
     def align(self, stem: str, batches: list[str] | None = None) -> list[Path]:
         batches = batches if batches is not None else self.batches()
-        jobs = [
-            Job(
-                name=f"map:{b}",
-                fn=lambda b=b: self.align_one_batch(
-                    b, stem, self.batch_accessions(b)
-                ),
-                mem_mb=512,
-                io_heavy=True,
+        outs: dict[str, Path] = {}
+        todo: list[str] = []
+        for b in batches:
+            out = self.map_path(b, stem)
+            if self.manifest.done("map", f"{b}____{stem}", [str(out)]):
+                outs[b] = out
+            else:
+                todo.append(b)
+        if len(todo) == 1:
+            # single batch: the per-batch scheduler path (identical output)
+            outs[todo[0]] = self.align_one_batch(
+                todo[0], stem, self.batch_accessions(todo[0])
             )
-            for b in batches
-        ]
-        results = self.sched.run(jobs)
-        return [results[f"map:{b}"] for b in batches]
+        elif todo:
+            # multi-batch: ONE shared flush pipeline pools pairs across
+            # batch boundaries (engine.align_batches_pooled) — flush sizes
+            # stay at device_pair_chunk even when most batches contribute a
+            # handful of pairs, instead of one small dispatch per batch
+            # (the reference's unit is one minimap2 process per genome,
+            # batch_align.py:416-486). Producer threads replace the
+            # scheduler's io_heavy jobs for tar/anchor host work.
+            from phylign_tpu.align.engine import align_batches_pooled
+
+            queries, sketches = self._filtered_query_set(stem)
+            params = AlignParams.from_preset(
+                self.cfg.minimap_preset, self.cfg.minimap_extra_params
+            )
+            specs = [
+                (b, str(self.asms_path(b)), self.batch_accessions(b))
+                for b in todo
+            ]
+            producers = max(1, min(self.cfg.max_io_heavy_threads, 4))
+            with benchmark(self.logs, "batch_align_pooled", stem):
+                for bname, records in align_batches_pooled(
+                    specs,
+                    queries,
+                    params,
+                    mesh=self.mesh(),
+                    device_lock=self.sched.flush_slot(),
+                    pair_chunk=self.cfg.device_pair_chunk,
+                    sketch_cache=sketches,
+                    producers=producers,
+                ):
+                    # per-batch rows keep the reference's log-file contract
+                    # (logs/benchmarks/batch_align/...); in pooled mode they
+                    # time the output write — stage wall is the
+                    # batch_align_pooled row
+                    with benchmark(
+                        self.logs, "batch_align", f"{bname}____{stem}"
+                    ):
+                        out = self.map_path(bname, stem)
+                        tmp, commit = atomic_write_via(out)
+                        write_batch_sam(tmp, records)
+                        commit()
+                    self.manifest.mark("map", f"{bname}____{stem}", [str(out)])
+                    outs[bname] = out
+        return [outs[b] for b in batches]
 
     # --- stage 6: aggregate + stats ------------------------------------------
 

@@ -136,3 +136,82 @@ def test_fused_env_gate(monkeypatch):
     sks = [ae.QuerySketch.make("q", decode_seq(ref.codes[:150]).decode(), params)]
     ae.flush_pairs(ae.make_pairs_batch(ref, sks, params), params)
     assert calls
+
+
+class TestPooledBatches:
+    """align_batches_pooled must route records back to batches byte-exactly
+    equal to per-batch align_batch, while pooling pairs across batches."""
+
+    def _fixture(self, tmp_path, n_batches=3, genomes=6, reads=40):
+        from phylign_tpu.io import asmtar
+        from phylign_tpu.match.filter import FilteredQuery
+
+        rng = np.random.default_rng(7)
+        params = ae.AlignParams.from_preset("sr")
+        specs = []
+        flat = []  # (batch_idx, acc, genome codes)
+        for b in range(n_batches):
+            docs = []
+            for g in range(genomes):
+                acc = f"POOL{b}{g:03d}"
+                seq = rng.integers(0, 4, 4000).astype(np.uint8)
+                docs.append((acc, [(f"{acc}.c1", decode_seq(seq))]))
+                flat.append((b, acc, seq))
+            tar = tmp_path / f"pool_{b:02d}__01.tar.xz"
+            asmtar.write_batch_tar(tar, docs)
+            specs.append(
+                (
+                    f"pool_{b:02d}__01",
+                    str(tar),
+                    {a for fb, a, _g in flat if fb == b},
+                )
+            )
+        queries = []
+        for i in range(reads):
+            bi, acc, gseq = flat[int(rng.integers(0, len(flat)))]
+            pos = int(rng.integers(0, len(gseq) - 150))
+            r = gseq[pos : pos + 150].copy()
+            if i % 2:
+                r = (3 - r)[::-1].copy()
+            # candidates span 1-3 accessions across batches
+            cands = [(0, acc, 150)]
+            for _ in range(int(rng.integers(0, 3))):
+                b2, a2, _ = flat[int(rng.integers(0, len(flat)))]
+                cands.append((0, a2, 100))
+            queries.append(
+                FilteredQuery(f"pr{i:03d}", decode_seq(r).decode(), cands)
+            )
+        return specs, queries, params
+
+    def test_pooled_equals_per_batch(self, tmp_path):
+        specs, queries, params = self._fixture(tmp_path)
+        per_batch = {}
+        for name, tar, accs in specs:
+            per_batch[name] = list(
+                ae.align_batch(tar, queries, accs, params, pair_chunk=4096)
+            )
+        # tiny pair_chunk forces flushes SPANNING batch boundaries
+        pooled = dict(
+            ae.align_batches_pooled(
+                specs, queries, params, pair_chunk=16, producers=2
+            )
+        )
+        assert set(pooled) == set(per_batch)
+        for name in per_batch:
+            assert pooled[name] == per_batch[name], name
+
+    def test_pooled_empty_and_single(self, tmp_path):
+        specs, queries, params = self._fixture(tmp_path, n_batches=2)
+        # a batch with no candidate queries yields an empty record list
+        no_q = [q for q in queries if not q.candidates]
+        pooled = dict(
+            ae.align_batches_pooled(specs, no_q, params, pair_chunk=64)
+        )
+        assert pooled == {specs[0][0]: [], specs[1][0]: []}
+        assert list(ae.align_batches_pooled([], queries, params)) == []
+
+    def test_pooled_producer_error_propagates(self, tmp_path):
+        specs, queries, params = self._fixture(tmp_path, n_batches=2)
+        bad = [(specs[0][0], str(tmp_path / "missing.tar.xz"), None)] + specs[1:]
+        with pytest.raises(Exception):
+            list(ae.align_batches_pooled(bad, queries, params, pair_chunk=64))
