@@ -305,18 +305,71 @@ def e2e_main() -> None:
     )
 
 
+def _load_pinned() -> dict:
+    """Recorded CPU baseline constants (PINNED_BASELINE.json): this host's
+    burstable vCPUs swing 10-25x run to run, so the live vs_baseline ratio
+    is noise-dominated; the pinned median makes rounds comparable."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "PINNED_BASELINE.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
+    import os
+
+    pinned = _load_pinned()
     tpu = tpu_throughput()
     cpu = cpu_baseline_throughput()
+    kernel_line = {
+        "metric": "match-stage queries/s per batch index (1 chip, S=2M, Wp=68, Q=2048, K=128)",
+        "value": round(tpu, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(tpu / cpu, 2),
+    }
+    if pinned.get("match_kernel_cpu_qps"):
+        kernel_line["vs_pinned_baseline"] = round(
+            tpu / pinned["match_kernel_cpu_qps"], 2
+        )
+    print(json.dumps(kernel_line), flush=True)
+
+    # end-to-end pipeline line (TPU side only; CPU divisor = the recorded
+    # pinned run at the same scale — see `--e2e` for a live CPU re-measure)
+    pe = pinned.get("e2e")
+    if os.environ.get("PHYLIGN_BENCH_E2E", "1") == "0" or not pe:
+        return
+    import tempfile
+    from pathlib import Path
+
+    nb, nd, nr = pe["n_batches"], pe["n_docs"], pe["n_reads"]
+    d = Path(tempfile.mkdtemp(prefix="phylign_e2e_"))
+    _e2e_stage_run(d, nb, nd, nr, seed=100, read_seed=100)  # warm
+    stages = _e2e_stage_run(
+        d, nb, nd, nr, seed=100, read_seed=101, reads_only=True
+    )
+    dt = stages["total"]
     print(
         json.dumps(
             {
-                "metric": "match-stage queries/s per batch index (1 chip, S=2M, Wp=68, Q=2048, K=128)",
-                "value": round(tpu, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(tpu / cpu, 2),
+                "metric": (
+                    f"end-to-end pipeline reads/s (synthetic {nb}-batch x "
+                    f"{nd}-doc fixture, Q={nr}, warm cache)"
+                ),
+                "value": round(nr / dt, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(pe["cpu_total_s"] / dt, 2),
+                "vs_baseline_kind": "pinned CPU run at identical scale "
+                "(PINNED_BASELINE.json)",
+                "stages_s": stages,
+                "pinned_cpu_stages_s": pe["cpu_stages_s"],
             }
-        )
+        ),
+        flush=True,
     )
 
 

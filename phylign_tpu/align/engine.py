@@ -60,6 +60,19 @@ class AlignParams:
     mid_occ_frac: float = 2e-4
     min_mid_occ: int = 10
     max_mid_occ: int = 1_000_000
+    # minimap2's second-chance seed cap (opt->max_occ; 5000 in the sr
+    # preset, 0 = disabled elsewhere): a read whose mid_occ pass found no
+    # chain but dropped repeat seeds is re-seeded once with this looser cap
+    # (map.c mm_map_frag's rechain branch)
+    max_occ: int = 5000
+    is_sr: bool = True  # selects mm_set_mapq's short-read MAPQ branch
+    # emission trimming (align.c mm_align1 / ksw_extz2): extensions beyond
+    # the chain stop when the score falls > zdrop (+ gap-slope term) below
+    # the running max; a query end whose alignment is within end_bonus of
+    # the clipped max is kept full-length (ksw's end_bonus, 10 for sr); an
+    # internal z-drop inside the anchor span SPLITS the region in two
+    zdrop: int = 100
+    end_bonus: int = 10
     max_segments: int = 3  # split-read cap: primary + (max_segments-1) supps
 
     def occ_cap(self, ref: "opm.RefIndex") -> int:
@@ -72,10 +85,10 @@ class AlignParams:
     def from_preset(cls, preset: str, extra_params: str = "") -> "AlignParams":
         """Build params from a minimap2 preset name (config.yaml:29-35 lists
         the supported set). Seeding/scoring constants follow minimap2's
-        presets; map-pb/map-ont run without homopolymer compression here
-        (a documented divergence — affects sensitivity on noisy long reads,
-        not the record contract). '--eqx' in extra_params is the default
-        output mode already; other extra flags are rejected loudly."""
+        presets, including homopolymer-compressed sketching for map-pb
+        (mm2's -H default for that preset; see ``hpc`` below). '--eqx' in
+        extra_params is the default output mode already; other extra flags
+        are rejected loudly."""
         table = {
             # preset: k, w, max_gap, match, mismatch, o1, e1, o2, e2, min_cnt, min_chain
             "sr": (21, 11, 100, 2, 8, 12, 2, 32, 1, 2, 20.0),
@@ -111,6 +124,14 @@ class AlignParams:
             # minimap2 pins mid_occ = 1000 in the sr preset; the others
             # leave it unset and derive it from the index frequency quantile
             mid_occ=1000 if preset == "sr" else 0,
+            max_occ=5000 if preset == "sr" else 0,
+            is_sr=(preset == "sr"),
+            # sr pins zdrop=100/end_bonus=10; long-read presets use mm2's
+            # looser 400 (asm 200) and no end bonus
+            zdrop=100 if preset == "sr" else (
+                200 if preset.startswith("asm") else 400
+            ),
+            end_bonus=10 if preset == "sr" else 0,
             scoring=ope.SrScoring(
                 match=m, mismatch=x,
                 gap_open1=o1, gap_ext1=e1, gap_open2=o2, gap_ext2=e2,
@@ -177,6 +198,10 @@ class ChainHost:
     rs: np.ndarray
     re: np.ndarray
     alt: np.ndarray  # f32 [N] best overlapping competitor (s2 source)
+    alt_qs: np.ndarray  # int32 [N] competitor coords (MAPQ DP probe target)
+    alt_qe: np.ndarray
+    alt_rs: np.ndarray
+    alt_re: np.ndarray
     sup_score: np.ndarray  # f32 [N, n_sup]
     sup_count: np.ndarray
     sup_qs: np.ndarray
@@ -250,7 +275,13 @@ def _pack_chain_result(res: "opc.ChainResult"):
     def pack(r):
         ints = jnp.concatenate(
             [
-                jnp.stack([r.count, r.qs, r.qe, r.rs, r.re], axis=1),
+                jnp.stack(
+                    [
+                        r.count, r.qs, r.qe, r.rs, r.re,
+                        r.alt_qs, r.alt_qe, r.alt_rs, r.alt_re,
+                    ],
+                    axis=1,
+                ),
                 jnp.concatenate(
                     [r.sup_count, r.sup_qs, r.sup_qe, r.sup_rs, r.sup_re],
                     axis=1,
@@ -278,7 +309,7 @@ def _pack_score_end(sc_dev, end_dev):
 def _unpack_chain_result(ints: np.ndarray, flts: np.ndarray, sup_score: np.ndarray):
     """Host-side inverse of _pack_chain_result -> field dict."""
     n_sup = sup_score.shape[1]
-    sup = ints[:, 5:].reshape(ints.shape[0], 5, n_sup)
+    sup = ints[:, 9:].reshape(ints.shape[0], 5, n_sup)
     return dict(
         score=flts[:, 0],
         alt_score=flts[:, 1],
@@ -287,6 +318,10 @@ def _unpack_chain_result(ints: np.ndarray, flts: np.ndarray, sup_score: np.ndarr
         qe=ints[:, 2],
         rs=ints[:, 3],
         re=ints[:, 4],
+        alt_qs=ints[:, 5],
+        alt_qe=ints[:, 6],
+        alt_rs=ints[:, 7],
+        alt_re=ints[:, 8],
         sup_score=sup_score,
         sup_count=sup[:, 0],
         sup_qs=sup[:, 1],
@@ -326,6 +361,10 @@ def _chain_pairs(
         rs=np.zeros(n, np.int32),
         re=np.zeros(n, np.int32),
         alt=np.full(n, -1.0, np.float32),
+        alt_qs=np.zeros(n, np.int32),
+        alt_qe=np.zeros(n, np.int32),
+        alt_rs=np.zeros(n, np.int32),
+        alt_re=np.zeros(n, np.int32),
         sup_score=np.full((n, n_sup), -1.0, np.float32),
         sup_count=np.zeros((n, n_sup), np.int32),
         sup_qs=np.zeros((n, n_sup), np.int32),
@@ -359,6 +398,10 @@ def _chain_pairs(
         host.rs[ii] = got["rs"][:m]
         host.re[ii] = got["re"][:m]
         host.alt[ii] = got["alt_score"][:m]
+        host.alt_qs[ii] = got["alt_qs"][:m]
+        host.alt_qe[ii] = got["alt_qe"][:m]
+        host.alt_rs[ii] = got["alt_rs"][:m]
+        host.alt_re[ii] = got["alt_re"][:m]
         host.sup_score[ii] = got["sup_score"][:m]
         host.sup_count[ii] = got["sup_count"][:m]
         host.sup_qs[ii] = got["sup_qs"][:m]
@@ -446,6 +489,168 @@ def _local_trim(
 
 def _cigar_str(cig: list[tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cig)
+
+
+# --- mm2 emission trimming: z-drop + end_bonus + region splitting ------------
+
+
+def _split_runs_at_q(runs, q: int):
+    """Split a run list at query offset q -> (left, right); '='/'X'/'I' runs
+    may be cut, 'D' runs stay left until q is reached."""
+    left: list[tuple[int, str]] = []
+    acc = 0
+    for idx, (n, op) in enumerate(runs):
+        if acc >= q:
+            return left, list(runs[idx:])
+        qadv = n if op in "=XI" else 0
+        if acc + qadv <= q:
+            left.append((n, op))
+            acc += qadv
+        else:
+            cut = q - acc
+            return left + [(cut, op)], [(n - cut, op)] + list(runs[idx + 1:])
+    return left, []
+
+
+def _run_vals(runs, sc: ope.SrScoring):
+    """(score, query-advance, ref-advance) per run."""
+    out = []
+    for n, op in runs:
+        if op == "=":
+            out.append((float(n * sc.match), n, n))
+        elif op == "X":
+            out.append((-float(n * sc.mismatch), n, n))
+        else:
+            g = -float(
+                min(sc.gap_open1 + n * sc.gap_ext1, sc.gap_open2 + n * sc.gap_ext2)
+            )
+            out.append((g, n, 0) if op == "I" else (g, 0, n))
+    return out
+
+
+def _ext_scan(vals, zdrop: int, end_bonus: int, e: int):
+    """One extension zone, scanned outward from the chain (score origin 0).
+    Mirrors ksw_extz2: stop when the score falls > zdrop + e*|gap drift|
+    below the running max (clip at the max); otherwise keep to the query
+    end iff end score + end_bonus > max (mm2's mqe + end_bonus rule).
+    Returns (number of runs kept, z_dropped)."""
+    r = m = 0.0
+    mb = mdq = mdr = dq = dr = 0
+    for idx, (v, a, b) in enumerate(vals):
+        r += v
+        dq += a
+        dr += b
+        if m - r > zdrop + e * abs((dq - mdq) - (dr - mdr)):
+            return mb, True
+        if r > m:
+            m, mb, mdq, mdr = r, idx + 1, dq, dr
+    if r + end_bonus > m:
+        return len(vals), False
+    return mb, False
+
+
+def _mid_scan(vals, zdrop: int, e: int):
+    """First internal z-drop inside the anchor span -> (peak run index,
+    trigger run index), or None. A hit splits the region (mm2 align.c:
+    a z-dropped gap fill produces a second region r2)."""
+    r = m = 0.0
+    mb = mdq = mdr = dq = dr = 0
+    for idx, (v, a, b) in enumerate(vals):
+        r += v
+        dq += a
+        dr += b
+        if m - r > zdrop + e * abs((dq - mdq) - (dr - mdr)):
+            return mb, idx
+        if r > m:
+            m, mb, mdq, mdr = r, idx + 1, dq, dr
+    return None
+
+
+def _merge_runs(runs):
+    out: list[list] = []
+    for n, op in runs:
+        if n <= 0:
+            continue
+        if out and out[-1][1] == op:
+            out[-1][0] += n
+        else:
+            out.append([n, op])
+    return [(n, op) for n, op in out]
+
+
+def _zdrop_parts(
+    cig: list[tuple[int, str]],
+    q_s: int,
+    q_e: int,
+    params: AlignParams,
+) -> list[tuple[list[tuple[int, str]], int, float]]:
+    """mm2-style emission trimming of one glocal alignment path.
+
+    Models minimap2's three-part alignment (align.c mm_align1): the chain
+    anchor span [q_s, q_e) is aligned globally while the query outside it is
+    an extension that (a) stops on z-drop, clipping at the running max, and
+    (b) keeps a mildly-negative query end when end score + end_bonus beats
+    the max (ksw end_bonus, 10 for sr — a single trailing mismatch stays
+    149=1X, not 149=1S). An internal z-drop inside the anchor span SPLITS
+    the alignment into two parts, mm2's split-region behavior.
+
+    Returns [(runs incl. soft clips, lead_r, dp_score)] sorted best-first;
+    dp_score is mm_update_extra's Kadane-best segment score of the emitted
+    part. Parts below min_dp_score are dropped; the list may be empty.
+    """
+    sc = params.scoring
+    e = sc.gap_ext1
+    left, rest = _split_runs_at_q(cig, q_s)
+    mid, right = _split_runs_at_q(rest, max(0, q_e - q_s))
+    rkeep, _ = _ext_scan(_run_vals(right, sc), params.zdrop, params.end_bonus, e)
+    right_k = right[:rkeep]
+    lvals = _run_vals(left, sc)[::-1]
+    lkeep, _ = _ext_scan(lvals, params.zdrop, params.end_bonus, e)
+    left_k = left[len(left) - lkeep:]
+    drop_l = left[: len(left) - lkeep]
+    q_off = sum(n for n, op in drop_l if op in "=XI")
+    r_off = sum(n for n, op in drop_l if op in "=XD")
+
+    raw: list[tuple[list, int, int]] = []  # (runs, q_before, r_before)
+    cur, cur_q, cur_r = left_k, q_off, r_off
+    mid_rem = mid
+    while True:
+        hit = _mid_scan(_run_vals(mid_rem, sc), params.zdrop, e)
+        if hit is None:
+            raw.append((cur + mid_rem + right_k, cur_q, cur_r))
+            break
+        mb, trig = hit
+        raw.append((cur + mid_rem[:mb], cur_q, cur_r))
+        adv = cur + mid_rem[: trig + 1]
+        cur_q += sum(n for n, op in adv if op in "=XI")
+        cur_r += sum(n for n, op in adv if op in "=XD")
+        cur, mid_rem = [], mid_rem[trig + 1:]
+
+    qlen = sum(n for n, op in cig if op in "=XI")
+    out = []
+    for runs, pq, pr in raw:
+        runs = _merge_runs(runs)
+        while runs and runs[0][1] in "ID":  # alignment edges never gap
+            n, op = runs.pop(0)
+            if op == "I":
+                pq += n
+            else:
+                pr += n
+        while runs and runs[-1][1] in "ID":
+            runs.pop()
+        if not runs:
+            continue
+        best = _local_trim(runs, sc)  # mm_update_extra Kadane segment score
+        if best is None or best[2] < sc.min_dp_score:
+            continue
+        part_q = sum(n for n, op in runs if op in "=XI")
+        tail = qlen - pq - part_q
+        full_runs = (
+            ([(pq, "S")] if pq else []) + runs + ([(tail, "S")] if tail else [])
+        )
+        out.append((full_runs, pr, best[2]))
+    out.sort(key=lambda t: -t[2])
+    return out
 
 
 @dataclass
@@ -655,9 +860,14 @@ def _extend_dispatch(
     )
 
 
-def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
+def _extend_finish(
+    ctx: _ExtCtx,
+) -> tuple[dict[tuple[int, int], SamRecord], dict[int, int]]:
     """Fetch + post-process a dispatched extension chunk: gapless check,
-    traceback-plane pass for the gapped remainder, SAM record assembly."""
+    traceback-plane pass for the gapped remainder, SAM record assembly.
+    Returns (records, probes): items with seg == PROBE_SEG produce no
+    record, only their alignment's Kadane-best DP score (mm2's dp_max2,
+    gated at min_dp_score the way mm_filter_regs drops weak regions)."""
     import jax
 
     tasks, items, params, mesh = ctx.tasks, ctx.items, ctx.params, ctx.mesh
@@ -765,6 +975,17 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
         min_suf = np.minimum.reduceat(sufv, r_start)
         bad = ~((min_pref > 0) & (min_suf > 0))
         full[rows_u[bad]] = False
+        # internal z-drop: a fall of > zdrop from a running peak sends the
+        # row to the trim/split path even when the full span is the Kadane
+        # optimum (mm2 would have split the region). Peaks sit just before
+        # mismatches, valleys just after; segmented running max via a
+        # per-group offset (group spans << offset keeps float64 exact).
+        r_before = (match_s * mcol - step * (rank - 1)).astype(np.float64)
+        gidx = np.repeat(np.arange(len(r_start)), g_size)
+        off = gidx * 1e9
+        runpeak = np.maximum.accumulate(r_before + off)
+        dropmax = np.maximum.reduceat(runpeak - (prefv + off), r_start)
+        full[rows_u[dropmax > params.zdrop]] = False
 
     if gapped:
         # fetch the plane pass LAST — every gapless host pass above ran
@@ -785,8 +1006,19 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
     full_l = full.tolist()
     best_l = best.tolist()
     neq_l = neq_all.tolist()
+    probes: dict[int, int] = {}
     for i, ((ti, seg), (csc, strand, qs, qe, rs, re, s2, cnt)) in enumerate(items):
         if i not in cigars:
+            continue
+        if seg == PROBE_SEG:
+            # MAPQ DP probe: Kadane-best segment score of the secondary
+            # region's alignment, no record emitted
+            if full_l[i]:
+                dp2 = best_l[i]
+            else:
+                trimmed = _local_trim(cigars[i][0], params.scoring)
+                dp2 = int(trimmed[2]) if trimmed is not None else 0
+            probes[ti] = dp2 if dp2 >= params.scoring.min_dp_score else 0
             continue
         t = tasks[ti]
         sk, ref = t.sketch, t.ref
@@ -794,61 +1026,63 @@ def _extend_finish(ctx: _ExtCtx) -> dict[tuple[int, int], SamRecord]:
         if full_l[i]:
             # gapless, untrimmed fast path (the overwhelming sr case): no
             # soft clips, score and op counts come from the mismatch count
-            lead_r = 0
-            dp_score = best_l[i]
-            n_x = neq_l[i]
-            n_eq = q_len_l[i] - n_x
-            n_i = n_d = 0
-            parts = [f"{nn}{op}" for nn, op in cig]
+            emit = [(cig, 0, best_l[i])]
+            fast_counts = (q_len_l[i] - neq_l[i], neq_l[i], 0, 0)
         else:
-            trimmed = _local_trim(cig, params.scoring)
-            if trimmed is None:
-                continue
-            cig, lead_r, dp_score = trimmed
-            if dp_score < params.scoring.min_dp_score:
-                continue
-            cig = _soft_clip_ends(cig)
-            # one pass over the few runs: op counts + string
-            n_eq = n_x = n_i = n_d = 0
-            parts = []
-            for nn, op in cig:
-                parts.append(f"{nn}{op}")
-                if op == "=":
-                    n_eq += nn
-                elif op == "X":
-                    n_x += nn
-                elif op == "I":
-                    n_i += nn
-                elif op == "D":
-                    n_d += nn
-        pos = w0_l[i] + start_d + lead_r - c_start_l[i] + 1
-        nm = n_x + n_i + n_d
-        de = round(nm / max(1, n_eq + nm), 4)
-        mapq = _mapq(csc, s2)
-        seq = sk.rc_seq() if strand else sk.seq
-        flag = (16 if strand else 0) | (2048 if seg else 0)
-        records[(ti, seg)] = SamRecord(
-            qname=sk.name,
-            flag=flag,
-            rname=ref.contig_names[contig_ids[i]],
-            pos=pos,
-            mapq=mapq,
-            cigar="".join(parts),
-            seq=seq,
-            tags=[
-                f"NM:i:{nm}",
-                f"ms:i:{int(dp_score)}",
-                f"AS:i:{int(dp_score)}",
-                "nn:i:0",
-                "tp:A:P",
-                f"cm:i:{int(cnt)}",
-                f"s1:i:{int(csc)}",
-                f"s2:i:{int(s2)}",
-                f"de:f:{de}",
-                f"rl:i:{t.rep_len}",
-            ],
-        )
-    return records
+            # mm2 emission semantics: z-drop clipping in the extension
+            # zones, end_bonus retention at the query ends, and region
+            # SPLITTING on an internal z-drop (extra parts become
+            # flag-2048 records, like mm2's r2 regions)
+            emit = _zdrop_parts(cig, qs, qe, params)
+            if seg != 0:
+                emit = emit[:1]  # supplementary chains keep their best part
+            fast_counts = None
+        for pk, (pcig, lead_r, dp_score) in enumerate(emit):
+            if fast_counts is not None:
+                n_eq, n_x, n_i, n_d = fast_counts
+                parts = [f"{nn}{op}" for nn, op in pcig]
+            else:
+                n_eq = n_x = n_i = n_d = 0
+                parts = []
+                for nn, op in pcig:
+                    parts.append(f"{nn}{op}")
+                    if op == "=":
+                        n_eq += nn
+                    elif op == "X":
+                        n_x += nn
+                    elif op == "I":
+                        n_i += nn
+                    elif op == "D":
+                        n_d += nn
+            pos = w0_l[i] + start_d + lead_r - c_start_l[i] + 1
+            nm = n_x + n_i + n_d
+            de = round(nm / max(1, n_eq + nm), 4)
+            seq = sk.rc_seq() if strand else sk.seq
+            key = (ti, seg) if pk == 0 else (ti, SPLIT_SEG0 + pk)
+            flag = (16 if strand else 0) | (2048 if key[1] else 0)
+            records[key] = SamRecord(
+                qname=sk.name,
+                flag=flag,
+                rname=ref.contig_names[contig_ids[i]],
+                pos=pos,
+                mapq=0,  # finalized by _group_task_records from mapq_meta
+                cigar="".join(parts),
+                seq=seq,
+                tags=[
+                    f"NM:i:{nm}",
+                    f"ms:i:{int(dp_score)}",
+                    f"AS:i:{int(dp_score)}",
+                    "nn:i:0",
+                    "tp:A:P",
+                    f"cm:i:{int(cnt)}",
+                    f"s1:i:{int(csc)}",
+                    f"s2:i:{int(s2)}",
+                    f"de:f:{de}",
+                    f"rl:i:{t.rep_len}",
+                ],
+                mapq_meta=(float(csc), float(s2), int(cnt), int(dp_score)),
+            )
+    return records, probes
 
 
 #: default align flush implementation: the device-resident fused path
@@ -924,6 +1158,10 @@ def flush_pairs_host_grouped(
                 ch.re[keep].tolist(),
                 ch.count[keep].tolist(),
                 np.maximum(ch.alt[keep], 0.0).tolist(),
+                ch.alt_qs[keep].tolist(),
+                ch.alt_qe[keep].tolist(),
+                ch.alt_rs[keep].tolist(),
+                ch.alt_re[keep].tolist(),
             ),
         )
         for ti, row in rows:
@@ -935,7 +1173,7 @@ def flush_pairs_host_grouped(
                     float(ch.sup_score[i, s]), int(st_a[i]),
                     int(ch.sup_qs[i, s]), int(ch.sup_qe[i, s]),
                     int(ch.sup_rs[i, s]), int(ch.sup_re[i, s]),
-                    int(ch.sup_count[i, s]), 0.0,
+                    int(ch.sup_count[i, s]), 0.0, 0, 0, 0, 0,
                 )
             )
 
@@ -949,13 +1187,27 @@ def flush_pairs_host_grouped(
     # 0.5: each lower-scoring chain covering a query interval mostly
     # disjoint from EVERY already-selected segment becomes a flag-2048
     # record rather than being dropped); seg index 0 = primary
+    # probe items: whenever a primary has a positive s2 competitor, that
+    # competitor region is DP-extended too (seg PROBE_SEG, no record) — mm2
+    # extends every retained secondary and MAPQ's sr branch reads its DP
+    # score (dp_max2). Probe source: best overlapping candidate, or the
+    # chain DP's same-strand alt (whose coordinates the chain kernel now
+    # returns), whichever chains higher; candidate wins ties.
     chained: list[tuple[tuple[int, int], tuple]] = []
+
+    def add_probe(ti, s2, strand, pqs, pqe, prs, pre):
+        chained.append(
+            ((ti, PROBE_SEG), (s2, strand, pqs, pqe, prs, pre, 0.0, 0))
+        )
+
     for ti, cl in sorted(cands.items()):
         if len(cl) == 1:
             # one candidate (the common sr case): it is the primary, its
             # only competitor score is the device's same-strand alt
             prim = cl[0]
             chained.append(((ti, 0), prim[:6] + (prim[7], prim[6])))
+            if prim[7] > 0:
+                add_probe(ti, prim[7], prim[1], *prim[8:12])
             continue
         cl.sort(key=lambda c: (-c[0], c[1], c[2]))
         prim = cl[0]
@@ -963,11 +1215,17 @@ def flush_pairs_host_grouped(
         # s2 for mapq: best competitor covering the primary's interval —
         # from the host candidate set (cross-strand) or the device's
         # same-strand alt score, whichever is larger
+        over = [c for c in rest if _qov(c, prim) >= 0.5]
+        best_over = max(over, key=lambda c: c[0], default=None)
         s2 = max(
-            [c[0] for c in rest if _qov(c, prim) >= 0.5] + [prim[7]],
-            default=0.0,
+            best_over[0] if best_over is not None else 0.0, prim[7], 0.0
         )
         chained.append(((ti, 0), prim[:6] + (s2, prim[6])))
+        if s2 > 0:
+            if best_over is not None and best_over[0] >= prim[7]:
+                add_probe(ti, s2, best_over[1], *best_over[2:6])
+            else:
+                add_probe(ti, s2, prim[1], *prim[8:12])
         picked = [prim]
         for c in rest:
             if len(picked) >= params.max_segments:
@@ -976,19 +1234,29 @@ def flush_pairs_host_grouped(
                 chained.append(((ti, len(picked)), c[:6] + (0.0, c[6])))
                 picked.append(c)
 
-    records = _extend_items(tasks, chained, params, mesh)
-    return _group_task_records(tasks, records, params)
+    records, probes = _extend_items(tasks, chained, params, mesh)
+    groups = _group_task_records(tasks, records, params, probes)
+    _reseed_retry(tasks, groups, set(cands), params, mesh)
+    return groups
 
 
 def _group_task_records(
     tasks: list[PairTask],
     records: dict[tuple[int, int], SamRecord],
     params: AlignParams,
+    probes: dict[int, int] | None = None,
 ) -> list[list[SamRecord]]:
     """Per-task record groups from keyed (ti, seg) records: primary first
     (promoting the best supplementary when the primary chain failed
     extension — minimap2 would have selected it the same way), then
-    hard-clipped supplementaries; an unmapped record when nothing survived."""
+    hard-clipped supplementaries; an unmapped record when nothing survived.
+    Records carrying deferred mapq_meta get their final MAPQ here, once the
+    group (for sum_sc) and the probe dp_max2 (``probes``: ti -> DP score of
+    the best overlapping secondary region) are known."""
+    probes = probes or {}
+    split_of: dict[int, list[SamRecord]] = {}
+    for (kti, kseg) in sorted(k for k in records if k[1] >= SPLIT_SEG0):
+        split_of.setdefault(kti, []).append(records[(kti, kseg)])
     out: list[list[SamRecord]] = []
     for ti, t in enumerate(tasks):
         rec_p = records.get((ti, 0))
@@ -996,13 +1264,17 @@ def _group_task_records(
             records[(ti, s)]
             for s in range(1, params.max_segments)
             if (ti, s) in records
-        ]
+        ] + split_of.get(ti, [])
+        sups = sups[: params.max_segments - 1]
         if rec_p is None and sups:
             rec_p = dataclasses.replace(sups[0], flag=sups[0].flag & ~2048)
             sups = sups[1:]
         if rec_p is None:
             out.append([unmapped_record(t.sketch.name, t.sketch.seq)])
             continue
+        group = [rec_p] + sups
+        if any(r.mapq_meta is not None for r in group):
+            _finalize_mapq(group, t, params, probes.get(ti, 0))
         out.append([rec_p] + [_hard_clip(r) for r in sups])
     return out
 
@@ -1012,8 +1284,9 @@ def _extend_items(
     chained: list[tuple[tuple[int, int], tuple]],
     params: AlignParams,
     mesh=None,
-) -> dict[tuple[int, int], SamRecord]:
-    """Extend a list of selected chain segments -> {(ti, seg): record}.
+) -> tuple[dict[tuple[int, int], SamRecord], dict[int, int]]:
+    """Extend a list of selected chain segments -> ({(ti, seg): record},
+    {ti: probe dp_max2}).
 
     Groups by query-length bucket and bounds P*L so the extension's traceback
     plane ([P, L, BAND] f32) stays within a fixed memory budget — long gene
@@ -1021,6 +1294,7 @@ def _extend_items(
     bounded dispatch-ahead pipeline: chunk i+1's device pass (and its host
     window prep) runs while chunk i's results are fetched + post-processed."""
     records: dict[tuple[int, int], SamRecord] = {}
+    probes: dict[int, int] = {}
     by_bucket: dict[int, list] = {}
     for item in chained:
         ti = item[0][0]
@@ -1033,13 +1307,19 @@ def _extend_items(
             chunks.append((items[off : off + max_p], lb))
     DEPTH = 2
     inflight: list[_ExtCtx] = []
+
+    def drain(ctx):
+        rec, prb = _extend_finish(ctx)
+        records.update(rec)
+        probes.update(prb)
+
     for ck, lb in chunks:
         inflight.append(_extend_dispatch(tasks, ck, lb, params, mesh))
         if len(inflight) >= DEPTH:
-            records.update(_extend_finish(inflight.pop(0)))
+            drain(inflight.pop(0))
     for ctx in inflight:
-        records.update(_extend_finish(ctx))
-    return records
+        drain(ctx)
+    return records, probes
 
 
 # --- device-resident fused flush (align.fused) -------------------------------
@@ -1189,7 +1469,7 @@ def _fused_dispatch(
     kw = dict(
         lmax=lmax, wlen=wlen, half=params.band // 2, scoring=params.scoring,
         min_cnt=params.min_chain_cnt, min_score=params.min_chain_score,
-        max_segments=params.max_segments,
+        max_segments=params.max_segments, zdrop=params.zdrop,
     )
     host_in = (cand_map, pair_base, pair_reflen, q_pack2, q_len,
                pool_pack, cst, clen)
@@ -1213,12 +1493,14 @@ def _fused_dispatch(
 
 def _fused_finish(
     ctx: _FusedCtx,
-) -> tuple[dict[tuple[int, int], SamRecord], list]:
+) -> tuple[dict[tuple[int, int], SamRecord], list, list[int]]:
     """Fetch one fused chunk and assemble its fast-path records.
 
-    Returns (records keyed (global ti, seg), delegated items) — delegated
-    items (gapped primaries, supplementary segments) run through the host
-    traceback extension path for byte-identical records."""
+    Returns (records keyed (global ti, seg), delegated items, tis that had
+    any threshold-passing chain) — delegated items (gapped primaries,
+    supplementary segments, MAPQ probes) run through the host traceback
+    extension path for byte-identical records; the had-chain set feeds the
+    re-seed retry condition (mm2 rechains only when NO chain was found)."""
     import jax
 
     from phylign_tpu.align import fused as fz
@@ -1261,9 +1543,14 @@ def _fused_finish(
     sup_mask = np.int32(0)
     for s in range(n_sup):
         sup_mask |= np.int32(fz.F_SUP0 << s)
-    need = (has & ~diag) | ((flags & sup_mask) != 0)
+    probe_rows = np.flatnonzero((flags & fz.F_PROBE) != 0)
+    # every non-FULL primary delegates to the host extension path: gapped
+    # rows need a traceback, and gapless-but-trimmable rows need the
+    # z-drop/end_bonus emission pass (_zdrop_parts), which reads the chain
+    # span from the cold payload
+    need = (has & ~full) | ((flags & (sup_mask | fz.F_PROBE)) != 0)
     need_rows = np.flatnonzero(need)
-    gap_rows = np.flatnonzero(has & ~diag).tolist()
+    gap_rows = np.flatnonzero(has & ~full).tolist()
     if len(need_rows):
         if compacted and len(need_rows) <= fz.COLD_CAP:
             # compact slot j holds cold data of the j-th needed row
@@ -1302,12 +1589,28 @@ def _fused_finish(
                         ),
                     ),
                 )
+        # MAPQ dp_max2 probes: the s2 competitor's coordinates (cold tail
+        # columns) run through the host extension path as no-record items
+        pb = 4 + 6 * n_sup
+        for i in probe_rows.tolist():
+            delegated.append(
+                (
+                    (tis[i], PROBE_SEG),
+                    (
+                        float(s2_a[i]), int(cold_i[i, pb]),
+                        int(cold_i[i, pb + 1]), int(cold_i[i, pb + 2]),
+                        int(cold_i[i, pb + 3]), int(cold_i[i, pb + 4]),
+                        0.0, 0,
+                    ),
+                ),
+            )
 
-    # fast path: gapless rows — CIGAR straight from the mismatch bitmask.
-    # Every per-record scalar that does not depend on the cigar is computed
-    # in bulk numpy; the python loop only assembles strings (~8k records
-    # per flush makes per-record python a first-order cost).
-    fast = np.flatnonzero(has & diag)
+    # fast path: FULL rows (gapless, untrimmable, no z-drop) — CIGAR
+    # straight from the mismatch bitmask. Every per-record scalar that does
+    # not depend on the cigar is computed in bulk numpy; the python loop
+    # only assembles strings (~8k records per flush makes per-record python
+    # a first-order cost). Non-full rows were delegated above.
+    fast = np.flatnonzero(has & full)
     m_s, x_s = params.scoring.match, params.scoring.mismatch
     mrow, mcol = np.nonzero(neq_mask[fast])
     mis_of: dict[int, list[int]] = {}
@@ -1320,20 +1623,40 @@ def _fused_finish(
     dp_v = m_s * (q_len - neq_cnt) - x_s * neq_cnt
     de_v = np.round(neq_cnt / np.maximum(1, q_len), 4)
     # float64 throughout so boundary truncations match the python-scalar
-    # path bit-for-bit (s2/s1 in f32 round differently); scores are clipped
+    # path bit-for-bit (f32 rounds differently); scores are clipped
     # before int casts — inactive rows carry the -1e30 sentinel
-    s1_f64 = np.clip(prim_score.astype(np.float64), -(2.0**62), 2.0**62)
-    s2_f64 = s2_a.astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = np.clip(1.0 - s2_f64 / np.where(s1_f64 == 0, 1, s1_f64), 0.0, 1.0)
-    mapq_v = np.clip((60 * ratio).astype(np.int64), 0, 60)
-    mapq_v[prim_score <= 0] = 0
     cm_v = prim_cnt.astype(np.int64)
+    rep_v = np.asarray(rep_a, np.float64)
+    s1_f64 = np.clip(prim_score.astype(np.float64), -(2.0**62), 2.0**62)
+    # vectorized mm_set_mapq chain-score branch (mm2_mapq's else arm) —
+    # valid exactly for the rows finalized inline below: s2 == 0 (no
+    # secondary DP probe pending, so dp_max2 == 0 and subsc clamps to
+    # min_chain_score) and no split segments (sum_sc == s1). Rows with a
+    # probe or sups defer to _finalize_mapq via mapq_meta; operation order
+    # mirrors mm2_mapq so inline and deferred paths agree bit-for-bit.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uniq = s1_f64 / (s1_f64 + rep_v)
+        pen = np.minimum(
+            np.where(s1_f64 > 100.0, 1.0, 0.01 * s1_f64) * uniq,
+            np.where(cm_v > 10, 1.0, 0.1 * cm_v),
+        )
+        subsc = float(params.min_chain_score)
+        mapq_f = (
+            pen * MAPQ_Q_COEF * (1.0 - subsc / s1_f64) * np.log(s1_f64)
+            + 0.499
+        )
+        mapq_f = np.where(np.isfinite(mapq_f), mapq_f, 0.0)
+    mapq_v = np.clip(mapq_f.astype(np.int64), 0, 60)
+    mapq_v[prim_score <= 0] = 0
+    # rows whose MAPQ cannot be finalized inline (probe pending / split
+    # segments change sum_sc): stash meta, patched by _group_task_records
+    defer_v = (s2_a[:n] > 0) | ((flags & (sup_mask | fz.F_PROBE)) != 0)
     s1_v = s1_f64.astype(np.int64)
     s2i_v = s2_a.astype(np.int64)
     pos_v = rel0 + end_d + 1  # full rows: lead_r == 0
 
     full_l = full.tolist()
+    defer_l = defer_v.tolist()
     qlen_l = q_len.tolist()
     end_l = end_d.tolist()
     rel0_l = rel0.tolist()
@@ -1352,50 +1675,26 @@ def _fused_finish(
     names = ctx.contig_names
     perfect_cig: dict[int, str] = {}  # qlen -> "L=" (zero-mismatch cigar)
     for i in fast_l:
-        if full_l[i]:
-            nm = nm_l[i]
-            if nm:
-                cig = _cigar_from_mismatches(mis_of[i], qlen_l[i])
-                cigar = "".join(f"{nn}{op}" for nn, op in cig)
-            else:
-                cigar = perfect_cig.get(qlen_l[i])
-                if cigar is None:
-                    cigar = perfect_cig.setdefault(
-                        qlen_l[i], f"{qlen_l[i]}="
-                    )
-            pos, dp_score, de, mapq = pos_l[i], dp_l[i], de_l[i], mapq_l[i]
-            cm, s1i, s2i = cm_l[i], s1_l[i], s2i_l[i]
+        nm = nm_l[i]
+        if nm:
+            cig = _cigar_from_mismatches(mis_of[i], qlen_l[i])
+            cigar = "".join(f"{nn}{op}" for nn, op in cig)
         else:
-            cig = _cigar_from_mismatches(mis_of.get(i, ()), qlen_l[i])
-            trimmed = _local_trim(cig, params.scoring)
-            if trimmed is None:
-                continue
-            cig, lead_r, dp_score = trimmed
-            if dp_score < params.scoring.min_dp_score:
-                continue
-            cig = _soft_clip_ends(cig)
-            n_eq = n_x = n_i = n_d = 0
-            parts = []
-            for nn, op in cig:
-                parts.append(f"{nn}{op}")
-                if op == "=":
-                    n_eq += nn
-                elif op == "X":
-                    n_x += nn
-                elif op == "I":
-                    n_i += nn
-                elif op == "D":
-                    n_d += nn
-            cigar = "".join(parts)
-            nm = n_x + n_i + n_d
-            de = round(nm / max(1, n_eq + nm), 4)
-            pos = rel0_l[i] + end_l[i] + lead_r + 1
-            dp_score = int(dp_score)
-            mapq = _mapq(sc_l[i], s2_l[i])
-            cm, s1i, s2i = cm_l[i], int(sc_l[i]), int(s2_l[i])
+            cigar = perfect_cig.get(qlen_l[i])
+            if cigar is None:
+                cigar = perfect_cig.setdefault(
+                    qlen_l[i], f"{qlen_l[i]}="
+                )
+        pos, dp_score, de, mapq = pos_l[i], dp_l[i], de_l[i], mapq_l[i]
+        cm, s1i, s2i = cm_l[i], s1_l[i], s2i_l[i]
         ti = tis[i]
         sk = tasks[ti].sketch
         strand = strand_l[i]
+        if defer_l[i]:
+            mapq = 0
+            meta = (float(sc_l[i]), float(s2_l[i]), cm_l[i], int(dp_score))
+        else:
+            meta = None
         records[(ti, 0)] = SamRecord(
             qname=sk.name,
             flag=16 if strand else 0,
@@ -1416,8 +1715,9 @@ def _fused_finish(
                 f"de:f:{de}",
                 f"rl:i:{rep_a[i]}",
             ],
+            mapq_meta=meta,
         )
-    return records, delegated
+    return records, delegated, [tis[i] for i in np.flatnonzero(has).tolist()]
 
 
 @dataclasses.dataclass
@@ -1450,6 +1750,10 @@ def flush_pairs_begin(
         fused = FUSED_DEFAULT and os.environ.get(
             "PHYLIGN_TPU_ALIGN_FUSED", "1"
         ) != "0"
+    if params.max_segments > 3:
+        # the fused flag byte has room for 2 supplementary bits + the probe
+        # bit; larger split-read caps take the host path
+        fused = False
     if not fused:
         return FusedFlush(
             tasks=tasks, params=params, mesh=mesh, inflight=[], queued=[],
@@ -1492,17 +1796,23 @@ def flush_pairs_end_grouped(ff: FusedFlush) -> list[list[SamRecord]]:
     tasks, params, mesh = ff.tasks, ff.params, ff.mesh
     records: dict[tuple[int, int], SamRecord] = {}
     delegated: list = []
+    had_chain: set[int] = set()
     while ff.inflight:
-        rec, dele = _fused_finish(ff.inflight.pop(0))
+        rec, dele, had = _fused_finish(ff.inflight.pop(0))
         records.update(rec)
         delegated.extend(dele)
+        had_chain.update(had)
         if ff.queued:
             ff.inflight.append(
                 _fused_dispatch(tasks, ff.queued.pop(0), params, mesh)
             )
+    probes: dict[int, int] = {}
     if delegated:
-        records.update(_extend_items(tasks, delegated, params, mesh))
-    return _group_task_records(tasks, records, params)
+        rec2, probes = _extend_items(tasks, delegated, params, mesh)
+        records.update(rec2)
+    groups = _group_task_records(tasks, records, params, probes)
+    _reseed_retry(tasks, groups, had_chain, params, mesh)
+    return groups
 
 
 def flush_pairs_fused(
@@ -1551,13 +1861,141 @@ def align_genome(
     return flush_pairs(make_pairs_batch(ref, list(sketches), params), params, mesh)
 
 
-def _mapq(s1: float, s2: float) -> int:
-    """minimap2-flavored mapping quality from chain scores (col 5 is not part
-    of the acceptance oracle; this tracks mm2's shape: high when unique)."""
+MAPQ_Q_COEF = 40.0  # mm2 hit.c q_coef
+MAPQ_SR_COEF = 6.02  # BWA-heritage per-score-unit scale of the sr DP branch
+
+
+def mm2_mapq(
+    s1: float,
+    s2_chain: float,
+    cnt: int,
+    dp_max: int,
+    dp_max2: int,
+    rep_len: int,
+    sum_sc: float,
+    params: AlignParams,
+) -> int:
+    """minimap2 2.24 ``mm_set_mapq`` (hit.c) reconstruction.
+
+    Inputs mirror the mm_reg1_t fields: s1 = chain score (r->score),
+    s2_chain = best overlapping competitor chain score (r->subsc), cnt =
+    chain anchor count (r->cnt), dp_max / dp_max2 = best-segment DP scores
+    of the primary / best overlapping secondary alignment (mm_update_extra's
+    Kadane maximum; mm_set_parent propagates the secondary's), rep_len =
+    repeat length from seeding, sum_sc = sum of parent-region chain scores
+    (primary + split segments).
+
+    Branch structure: penalty = min(chain-score penalty x repeat-uniqueness
+    ratio sum_sc/(sum_sc+rep_len), chain-count penalty); with a positive
+    secondary DP score the sr preset uses the BWA-style score-difference
+    form 6.02*(dp_max-dp_max2)/match, otherwise the chain-score log form
+    q_coef*(1-subsc/s1)*ln(s1). Verified against the golden file's real
+    mm2 col-5 output (tests/test_golden_minimap2_parity.py): the golden
+    set exercises the tie (MAPQ 0), near-tie DP (MAPQ 48) and saturated
+    (MAPQ 60) regions. The exact rounding (+.499) and the penalty
+    composition in the sr DP branch are reconstruction choices the golden
+    set cannot distinguish (all its records have pen == 1); documented in
+    docs/sam_tags.md.
+    """
+    import math
+
     if s1 <= 0:
         return 0
-    ratio = max(0.0, 1.0 - s2 / s1)
-    return max(0, min(60, int(60 * ratio)))
+    uniq = float(sum_sc) / (float(sum_sc) + float(rep_len))
+    pen_s1 = (1.0 if s1 > 100 else 0.01 * s1) * uniq
+    pen_cm = 1.0 if cnt > 10 else 0.1 * cnt
+    pen = min(pen_s1, pen_cm)
+    if dp_max > 0 and dp_max2 > 0:
+        if params.is_sr:
+            mapq = int(
+                pen * MAPQ_SR_COEF * (dp_max - dp_max2)
+                / params.scoring.match + 0.499
+            )
+        else:
+            mapq = int(
+                pen * MAPQ_Q_COEF * (1.0 - dp_max2 / dp_max)
+                * math.log(s1) + 0.499
+            )
+    else:
+        subsc = max(float(s2_chain), float(params.min_chain_score))
+        mapq = int(
+            pen * MAPQ_Q_COEF * (1.0 - subsc / s1) * math.log(s1) + 0.499
+        )
+    return max(0, min(60, mapq))
+
+
+#: sentinel segment index for MAPQ DP-probe items: the best overlapping
+#: secondary region is extended like a real segment but produces no record —
+#: only its Kadane-best DP score (mm2's dp_max2)
+PROBE_SEG = -1
+
+#: record keys >= this mark extra parts from an internal z-drop split
+#: (mm2's r2 regions); _group_task_records appends them as supplementaries
+SPLIT_SEG0 = 1000
+
+
+def _reseed_retry(
+    tasks: list[PairTask],
+    groups: list[list[SamRecord]],
+    had_chain: set[int],
+    params: AlignParams,
+    mesh=None,
+) -> None:
+    """minimap2's second-chance re-seed (map.c mm_map_frag rechain branch):
+    a read whose mid_occ seeding dropped repeat seeds (rep_len > 0) AND
+    found no chain at all retries once with the looser opt->max_occ cap
+    (5000 for sr; 0 = disabled for other presets). Reads whose chains
+    merely failed extension are NOT retried — mm2 rechains only on
+    n_regs0 == 0. Mutates ``groups`` in place with the retry's records
+    (rl:i then reflects the second pass's rep_len, as mm2's does)."""
+    if params.max_occ <= 0:
+        return
+    retry = [
+        ti
+        for ti, t in enumerate(tasks)
+        if ti not in had_chain
+        and t.rep_len > 0
+        and params.max_occ > params.occ_cap(t.ref)
+    ]
+    if not retry:
+        return
+    # occ_cap == max_occ for the retry params, so a second-level retry is
+    # structurally impossible (the guard above goes False)
+    retry_params = dataclasses.replace(params, mid_occ=params.max_occ)
+    retry_tasks = []
+    for ti in retry:
+        t = tasks[ti]
+        plus, minus, rep = opm.collect_anchors(
+            t.ref, t.sketch.mh, t.sketch.mp, t.sketch.ms,
+            len(t.sketch.codes), params.max_occ,
+        )
+        retry_tasks.append(PairTask(t.sketch, t.ref, plus, minus, int(rep)))
+    log.info("re-seeding %d repeat-dominated pair(s) at max_occ=%d",
+             len(retry), params.max_occ)
+    for ti, g in zip(retry, flush_pairs_host_grouped(retry_tasks, retry_params, mesh)):
+        if g[0].flag != 4:
+            groups[ti] = g
+
+
+def _finalize_mapq(
+    group: list[SamRecord],
+    task: PairTask,
+    params: AlignParams,
+    dp2: int,
+) -> None:
+    """Fill in ``mapq`` for every record in one task's group from the
+    deferred meta (s1, s2_chain, cnt, dp_max) + the probe's dp_max2."""
+    sum_sc = sum(r.mapq_meta[0] for r in group if r.mapq_meta is not None)
+    for seg, rec in enumerate(group):
+        if rec.mapq_meta is None:
+            continue
+        s1, s2c, cnt, dp_max = rec.mapq_meta
+        rec.mapq = mm2_mapq(
+            s1, s2c, cnt, dp_max,
+            dp2 if seg == 0 else 0,  # probes target the primary's interval
+            task.rep_len, sum_sc, params,
+        )
+        rec.mapq_meta = None
 
 
 def align_batch(

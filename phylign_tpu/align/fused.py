@@ -46,6 +46,10 @@ F_FULL = 4  # gapless AND untrimmable (full-span Kadane optimum) AND >= -s
 F_STRAND = 8  # primary candidate strand (1 = reverse)
 F_PRIMTYPE = 16  # primary candidate is a strand-set primary (alt is valid)
 F_SUP0 = 32  # supplementary segment s found -> bit (5 + s)
+F_PROBE = 128  # s2 > 0: the competitor's coords ride in the cold payload
+# for the MAPQ dp_max2 probe extension (mm2 hit.c mm_set_mapq). The flag
+# byte caps n_sup at 2 (bits 5-6): flush_pairs_begin routes larger
+# max_segments to the host path.
 
 COLD_CAP = 512  # compacted delegation rows shipped with the hot fetch
 
@@ -84,6 +88,10 @@ def _flatten_chains(chains) -> dict[str, jax.Array]:
         rs=cat("rs", 0),
         re=cat("re", 0),
         alt=cat("alt_score", NEG),
+        alt_qs=cat("alt_qs", 0),
+        alt_qe=cat("alt_qe", 0),
+        alt_rs=cat("alt_rs", 0),
+        alt_re=cat("alt_re", 0),
         sup_score=cat("sup_score", NEG),
         sup_count=cat("sup_count", 0),
         sup_qs=cat("sup_qs", 0),
@@ -111,6 +119,7 @@ def _select_extend_core(
     min_cnt: int,
     min_score: float,
     max_segments: int,
+    zdrop: int,
 ):
     p = cand_map.shape[0]
     n_sup = flat["sup_score"].shape[1]
@@ -187,12 +196,27 @@ def _select_extend_core(
     iota_c = jnp.arange(c_total, dtype=jnp.int32)[None, :]
     others = c_valid & (iota_c != prim_c[:, None])
     ov_ok = qov_ge_half(c_qs, c_qe, prim_qs[:, None], prim_qe[:, None])
-    s2_cand = jnp.max(
-        jnp.where(others & ov_ok, c_score, NEG), axis=1
-    )
+    over_sc = jnp.where(others & ov_ok, c_score, NEG)
+    c2 = jnp.argmax(over_sc, axis=1).astype(jnp.int32)
+    s2_cand = take_c(over_sc, c2)
     alt_term = jnp.where(prim_is_primary & has_prim, prim_alt, 0.0)
     s2 = jnp.maximum(jnp.maximum(s2_cand, alt_term), 0.0)
     s2 = jnp.where(has_prim, s2, 0.0)
+
+    # MAPQ dp_max2 probe target: the s2 competitor's region coordinates —
+    # the best overlapping candidate (which has full coords), or the chain
+    # DP's same-strand alt competitor of the primary's own set (whose
+    # coords now ride in the ChainResult); candidate wins ties, matching
+    # the host selection rule in engine.flush_pairs_host_grouped.
+    use_alt = alt_term > jnp.maximum(s2_cand, 0.0)
+    sidx = jnp.clip(prim_c, 0, 1)
+    take_s = lambda arr: jnp.take_along_axis(arr[si], sidx[:, None], axis=1)[:, 0]
+    probe_strand = jnp.where(use_alt, prim_strand, take_c(c_strand, c2))
+    probe_qs = jnp.where(use_alt, take_s(flat["alt_qs"]), take_c(c_qs, c2))
+    probe_qe = jnp.where(use_alt, take_s(flat["alt_qe"]), take_c(c_qe, c2))
+    probe_rs = jnp.where(use_alt, take_s(flat["alt_rs"]), take_c(c_rs, c2))
+    probe_re = jnp.where(use_alt, take_s(flat["alt_re"]), take_c(c_re, c2))
+    has_probe = s2 > 0.0
 
     # supplementary segments: greedy best candidate mostly-disjoint from
     # every previously picked segment (mask_level 0.5; host loop order)
@@ -265,6 +289,14 @@ def _select_extend_core(
     min_pref = jnp.min(jnp.where(neq_mask, prefv, big), axis=1)
     min_suf = jnp.min(jnp.where(neq_mask, sufv, big), axis=1)
     full = full & ((neq == 0) | ((min_pref > 0) & (min_suf > 0)))
+    # internal z-drop twin (engine._extend_finish): a > zdrop fall from a
+    # running peak fails the fast path — the host then splits the region
+    # the way mm2's z-dropped gap fill does. Peaks sit just before
+    # mismatch columns, valleys just after.
+    r_before = m_s * col_i - step * (cum - 1)
+    runpeak = jax.lax.cummax(jnp.where(neq_mask, r_before, -big), axis=1)
+    dropmax = jnp.max(jnp.where(neq_mask, runpeak - prefv, -big), axis=1)
+    full = full & (dropmax <= jnp.int32(zdrop))
 
     # --- pack outputs: a small HOT payload fetched every flush + a COLD
     # payload (delegation coordinates: gapped primaries, supplementary
@@ -279,6 +311,7 @@ def _select_extend_core(
     )
     for s, so in enumerate(sup_out):
         flags = flags | so["found"].astype(jnp.int32) * (F_SUP0 << s)
+    flags = flags | has_probe.astype(jnp.int32) * F_PROBE
     hot = jnp.stack(
         [(w0 - c_start), ci, flags | (end_d << 8), prim_count], axis=1
     ).astype(jnp.int32)
@@ -292,6 +325,8 @@ def _select_extend_core(
         cold_ints += [
             so["strand"], so["qs"], so["qe"], so["rs"], so["re"], so["count"]
         ]
+    # probe coords last (base column 4 + 6*n_sup, read by _fused_finish)
+    cold_ints += [probe_strand, probe_qs, probe_qe, probe_rs, probe_re]
     cold_i = jnp.stack(cold_ints, axis=1).astype(jnp.int32)
     cold_f = (
         jnp.stack([so["score"] for so in sup_out], axis=1)
@@ -310,7 +345,7 @@ def _compact_cold(hot, cold_i, cold_f):
     per-shard cumsum would misnumber ranks on a mesh."""
     flags = hot[:, 2]
     sup_bits = ~jnp.int32(F_SUP0 - 1)  # any bit >= F_SUP0
-    gapped = ((flags & F_HAS) != 0) & ((flags & F_DIAG) == 0)
+    gapped = ((flags & F_HAS) != 0) & ((flags & F_FULL) == 0)
     need = gapped | ((flags & (0xFF & sup_bits)) != 0)
     rank = jnp.cumsum(need.astype(jnp.int32)) - 1
     pos = jnp.where(need & (rank < COLD_CAP), rank, COLD_CAP)
@@ -327,7 +362,7 @@ def _compact_cold(hot, cold_i, cold_f):
     jax.jit,
     static_argnames=(
         "lmax", "wlen", "half", "scoring", "min_cnt", "min_score",
-        "max_segments",
+        "max_segments", "zdrop",
     ),
 )
 def select_extend(
@@ -348,6 +383,7 @@ def select_extend(
     min_cnt: int,
     min_score: float,
     max_segments: int,
+    zdrop: int = 100,
 ):
     """Single-device fused selection + extension over per-bucket chain
     results (device arrays from ops.chain — never fetched). Returns
@@ -359,6 +395,7 @@ def select_extend(
         cst, clen,
         lmax=lmax, wlen=wlen, half=half, scoring=scoring,
         min_cnt=min_cnt, min_score=min_score, max_segments=max_segments,
+        zdrop=zdrop,
     )
     return hot, flts, neq_pack, _compact_cold(hot, *cold), cold
 
@@ -382,6 +419,7 @@ def dist_select_extend(
     min_cnt: int,
     min_score: float,
     max_segments: int,
+    zdrop: int = 100,
 ):
     """Mesh twin: pair-axis arrays are dp-sharded over 'q'; the (small)
     per-set chain outputs are all-gathered so every shard can gather any
@@ -395,6 +433,8 @@ def dist_select_extend(
         score=P(AXIS_QUERY), count=P(AXIS_QUERY), qs=P(AXIS_QUERY),
         qe=P(AXIS_QUERY), rs=P(AXIS_QUERY), re=P(AXIS_QUERY),
         alt_score=P(AXIS_QUERY),
+        alt_qs=P(AXIS_QUERY), alt_qe=P(AXIS_QUERY),
+        alt_rs=P(AXIS_QUERY), alt_re=P(AXIS_QUERY),
         sup_score=P(AXIS_QUERY, None), sup_count=P(AXIS_QUERY, None),
         sup_qs=P(AXIS_QUERY, None), sup_qe=P(AXIS_QUERY, None),
         sup_rs=P(AXIS_QUERY, None), sup_re=P(AXIS_QUERY, None),
@@ -409,6 +449,7 @@ def dist_select_extend(
             _flatten_chains(full), cm, pb, prl, qp, ql, pool, cst_, clen_,
             lmax=lmax, wlen=wlen, half=half, scoring=scoring,
             min_cnt=min_cnt, min_score=min_score, max_segments=max_segments,
+            zdrop=zdrop,
         )
 
     return shard_map(

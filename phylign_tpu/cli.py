@@ -85,16 +85,51 @@ def _my_batches(args, pl) -> tuple[list[str], int, int]:
     return shard_batches(batches, num, pid), num, pid
 
 
-def _wait_for_peers(paths, what: str, timeout_s: float, poll_s: float = 2.0):
+def _wait_for_peers(
+    paths,
+    what: str,
+    timeout_s: float,
+    poll_s: float = 2.0,
+    stall_s: float = 900.0,
+):
     """Rank-0 completion barrier for multi-process runs over a shared
     filesystem: block until every peer output exists (peers write atomically
     via tmp-then-rename, so existence == complete), with progress logs and a
     timeout. Replaces the global barrier Snakemake's DAG gives the reference
-    for free (ref: /root/reference/Snakefile:490-520,566-579)."""
+    for free (ref: /root/reference/Snakefile:490-520,566-579).
+
+    Peer-failure detection: beyond the absolute timeout, the barrier tracks
+    PROGRESS — outputs appearing, or any pending peer's in-progress tmp/
+    bench files advancing — and aborts after ``stall_s`` seconds with no
+    movement. A crashed peer rank thus fails rank 0 in minutes with a
+    pointed message, not after the 1-day absolute timeout (the reference
+    gets this from the cluster scheduler's job-failure reporting,
+    ref Makefile:118-131)."""
     import time
+
+    def activity_stamp(missing):
+        """Newest mtime of any in-flight artifact near the missing outputs:
+        .tmp siblings (atomic-rename staging) and the per-stage benchmark
+        logs peers append to while working."""
+        newest = 0.0
+        for p in missing:
+            for cand in (p.parent,):
+                try:
+                    for q in cand.iterdir():
+                        name = q.name
+                        if name.endswith(".tmp") or name.startswith(p.name):
+                            try:
+                                newest = max(newest, q.stat().st_mtime)
+                            except OSError:
+                                pass
+                except OSError:
+                    pass
+        return newest
 
     t0 = time.monotonic()
     last = -1
+    last_progress = time.monotonic()
+    last_stamp = 0.0
     while True:
         missing = [p for p in paths if not p.exists()]
         if not missing:
@@ -106,6 +141,19 @@ def _wait_for_peers(paths, what: str, timeout_s: float, poll_s: float = 2.0):
                 flush=True,
             )
             last = len(missing)
+            last_progress = time.monotonic()
+        stamp = activity_stamp(missing)
+        if stamp > last_stamp:
+            last_stamp = stamp
+            last_progress = time.monotonic()
+        stalled = time.monotonic() - last_progress
+        if stall_s > 0 and stalled > stall_s:
+            sys.exit(
+                f"rank 0: no peer progress for {stalled:.0f}s while waiting "
+                f"on {len(missing)} {what} file(s) (e.g. {missing[0]}) — a "
+                "peer rank likely crashed; check its logs, re-run that rank "
+                "(resume skips finished batches), then re-run this rank"
+            )
         if time.monotonic() - t0 > timeout_s:
             sys.exit(
                 f"rank 0: timed out after {timeout_s:.0f}s waiting on "
@@ -133,7 +181,7 @@ def cmd_match(args) -> None:
             return
         _wait_for_peers(
             [pl.match_path(b, stem) for b in pl.batches()],
-            "match", args.peer_wait_timeout,
+            "match", args.peer_wait_timeout, stall_s=args.peer_stall_timeout,
         )
     out = pl.filter(stem)
     print(f"match done: {out}")
@@ -157,7 +205,7 @@ def cmd_map(args) -> None:
             return
         _wait_for_peers(
             [pl.map_path(b, stem) for b in pl.batches()],
-            "map", args.peer_wait_timeout,
+            "map", args.peer_wait_timeout, stall_s=args.peer_stall_timeout,
         )
     out = pl.aggregate(stem)
     pl.stats(stem)
@@ -472,6 +520,13 @@ def main(argv: list[str] | None = None) -> None:
             metavar="SECONDS",
             help="rank 0's barrier timeout waiting for peer ranks' outputs "
             "(multi-process runs; default 1 day)",
+        )
+        p.add_argument(
+            "--peer-stall-timeout", type=float, default=900.0,
+            metavar="SECONDS",
+            help="abort the rank-0 barrier after this long with NO peer "
+            "progress (new outputs or advancing tmp/bench files) — detects "
+            "crashed peer ranks in minutes; 0 disables (default 900)",
         )
         p.add_argument(
             "--distributed", nargs="?", const="auto", default=None,

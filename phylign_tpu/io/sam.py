@@ -31,6 +31,12 @@ class SamRecord:
     cigar: str  # eqx-style ('='/'X'/'I'/'D'), '*' if unmapped
     seq: str
     tags: list[str] = field(default_factory=list)
+    # deferred-MAPQ inputs (s1, s2_chain, cnt, dp_max) stashed by the align
+    # engine at assembly time; engine._group_task_records finalizes ``mapq``
+    # from these once the secondary-region DP probes are in (mm2's
+    # mm_set_mapq needs dp_max2, which is only known after probe extension).
+    # Excluded from equality so A/B record comparisons see emitted bytes.
+    mapq_meta: tuple | None = field(default=None, repr=False, compare=False)
 
     def to_line(self) -> str:
         fields = [

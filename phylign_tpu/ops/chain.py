@@ -6,11 +6,17 @@ minimap2 once per (batch, candidate genome):
 a batch are chained together as one [P, A] tensor program: P pairs, A padded
 anchor slots.
 
-Scoring (minimap2 chaining model):
-    f[i] = seed_weight + max(0, max_{j in window} f[j] + gain(j, i) - gap(j, i))
+Scoring (minimap2's mm_chain_dp model, including its score SCALE — the
+chain score feeds mm_set_mapq and the s1/s2 SAM tags, so absolute values
+matter):
+    f[i] = max(seed_weight, max_{j in window} f[j] + gain(j, i) - gap(j, i))
     gain = min(dq, dr, k);   gap = 0.01 * k * dd + 0.5 * log2(dd + 1)
     with dd = |dr - dq|; transition allowed iff 0 < dr <= max_gap,
     0 < dq <= max_gap, dd <= bandwidth. Anchors are sorted by (rpos, qpos).
+    An edge contributes only its newly-matched bases (min(dq, dr, k)); the
+    seed weight k enters once at the chain root, exactly like mm2's
+    f[i] = max(q_span, f[j] + comput_sc) — a 150 bp short read chains to
+    ~140, mm2's scale, not ~3.5x it.
 
 Structure (TPU-first, bounded memory):
   * the DP is a ``lax.scan`` over anchor slots carrying a rolling
@@ -71,8 +77,15 @@ class ChainResult(NamedTuple):
     rs: jax.Array  # int32 [P] ref start
     re: jax.Array  # int32 [P] ref end
     # best chain overlapping the primary's query interval by >= mask_level
-    # (the s2 competitor for mapq); < 0 when none exists
+    # (the s2 competitor for mapq); < 0 when none exists. Coordinates of
+    # that competitor ride along so the align engine can DP-extend it: mm2's
+    # MAPQ needs the secondary region's DP score (dp_max2, hit.c
+    # mm_set_parent/mm_set_mapq), not just its chain score.
     alt_score: jax.Array  # f32 [P]
+    alt_qs: jax.Array  # int32 [P] (garbage when alt_score < 0)
+    alt_qe: jax.Array  # int32 [P]
+    alt_rs: jax.Array  # int32 [P]
+    alt_re: jax.Array  # int32 [P]
     # up to n_sup further chains, each mostly-disjoint from every previously
     # selected chain (split-read segments); score < 0 marks an empty slot
     sup_score: jax.Array  # f32 [P, n_sup]
@@ -142,10 +155,17 @@ def chain_anchors(
         gain = jnp.minimum(jnp.minimum(dq, dr), kf)
         cost = 0.01 * kf * dd + 0.5 * jnp.log2(dd + 1.0)
         cand = jnp.where(ok, fbuf + gain - cost, neg)
-        best_w = jnp.argmax(cand, axis=1).astype(jnp.int32)  # [P]
+        # tie-break toward the NEAREST predecessor (mm2 iterates j from i-1
+        # downward with a strict compare): argmax over the reversed window
+        best_w = (
+            jnp.int32(w - 1)
+            - jnp.argmax(cand[:, ::-1], axis=1).astype(jnp.int32)
+        )  # [P]
         best_v = jnp.take_along_axis(cand, best_w[:, None], axis=1)[:, 0]
-        use = best_v > 0.0
-        fi = seed_w + jnp.maximum(best_v, 0.0)
+        # parent only when strictly better than standalone (mm2's `sc >
+        # max_f` with max_f initialized to the seed weight)
+        use = best_v > seed_w
+        fi = jnp.maximum(best_v, seed_w)
         par_i = jnp.where(use, i - w + best_w, jnp.int32(-1))
         fbuf = jnp.concatenate([fbuf[:, 1:], fi[:, None]], axis=1)
         rbuf = jnp.concatenate([rbuf[:, 1:], ri[:, None]], axis=1)
@@ -196,11 +216,21 @@ def chain_anchors(
         ).astype(jnp.float32)
         return (ov >= 0.5 * span) & sel_live[:, None]
 
-    onehot_end = iota == end[:, None]
     live1 = score1 > 0.0
-    # s2: best chain overlapping the primary (excluding the primary cell)
-    alt_mask = overlap_frac_ok(qs1, qe1, live1) & valid & ~onehot_end
-    alt_score = jnp.max(jnp.where(alt_mask, f, neg), axis=1)
+    # s2: best chain overlapping the primary, EXCLUDING every cell that
+    # shares the primary's chain root — the primary's own prefix cells (and
+    # branches merging into it) are anchors mm2 marks as used, not
+    # competitors. Its end-cell index yields the competitor's coordinates
+    # for the MAPQ DP probe (mm2 extends every retained secondary region).
+    # Branches that diverge FROM the primary's prefix are conservatively
+    # excluded too (mm2 would enumerate their suffix at a differential
+    # score); genuine second loci have distinct roots and score exactly.
+    prim_root = take(start_all, end)
+    on_prim = start_all == prim_root[:, None]
+    alt_mask = overlap_frac_ok(qs1, qe1, live1) & valid & ~on_prim
+    f_alt = jnp.where(alt_mask, f, neg)
+    alt_end = jnp.argmax(f_alt, axis=1).astype(jnp.int32)
+    alt_score = take(f_alt, alt_end)
 
     # split-read segments: iteratively take the best chain mostly-disjoint
     # from every chain selected so far (primary included)
@@ -231,6 +261,10 @@ def chain_anchors(
         rs=take(rs_all, end),
         re=take(rpos, end) + k,
         alt_score=alt_score,
+        alt_qs=take(qs_all, alt_end),
+        alt_qe=take(qe_all, alt_end),
+        alt_rs=take(rs_all, alt_end),
+        alt_re=take(rpos, alt_end) + k,
         sup_score=stack("score"),
         sup_count=stack("count"),
         sup_qs=stack("qs"),
@@ -257,9 +291,9 @@ def chain_oracle(
     f = np.full(a, float(k))
     parent = np.full(a, -1)
     for i in range(1, a):
-        best, bj = 0.0, -1
+        best, bj = float(k), -1  # standalone seed weight (mm2's max_f init)
         j0 = 0 if lookback is None else max(0, i - lookback)
-        for j in range(j0, i):
+        for j in range(i - 1, j0 - 1, -1):  # nearest first (mm2 loop order)
             dr, dq = rpos[i] - rpos[j], qpos[i] - qpos[j]
             dd = abs(dr - dq)
             if dr <= 0 or dq <= 0 or dr > max_gap or dq > max_gap or dd > bandwidth:
@@ -267,7 +301,7 @@ def chain_oracle(
             sc = min(dq, dr, k) - (0.01 * k * dd + 0.5 * np.log2(dd + 1))
             if f[j] + sc > best:
                 best, bj = f[j] + sc, j
-        f[i] = k + best
+        f[i] = best
         parent[i] = bj
     end = int(np.argmax(f))
     cnt, cur = 1, end

@@ -13,7 +13,16 @@ minimap2's record byte-for-byte — for ALL 5,671 mapped golden records
 (~14 s on the CPU backend; the flush is one batched device pass).
 
 This is the offline approximation of the reference's own acceptance oracle,
-strengthened from cols 1-3 to cols 1-4 + 6 + 10 on real data.
+strengthened from cols 1-3 to cols 1-6 + 10 on real data.
+
+MAPQ (col 5) is real mm2 2.24 mm_set_mapq output and is now compared too.
+The golden set's sub-60 MAPQs imply a near-tie secondary region in the real
+genome (mm2's sr branch: mapq = 6.02*(dp_max-dp_max2)/match): MAPQ 48 with
+AS 300 pins dp_max2 = 284 — a second locus differing by one deleted base
+(149*2 - (12+2) = 284) — and MAPQ 0 pins an exact second copy (dp_max2 =
+300). The test plants exactly those secondary loci downstream of the primary
+window, so the engine's chain-alt probe -> secondary DP extension -> MAPQ
+pipeline must reproduce mm2's column 5 on every record.
 """
 
 import lzma
@@ -58,8 +67,10 @@ def _golden_records():
             if not line or line.startswith("==>"):
                 continue
             fields = line.split("\t")
-            qname, flag, rname, pos, _mapq, cigar = fields[:6]
-            recs.append((qname, int(flag), rname, int(pos), cigar, fields[9]))
+            qname, flag, rname, pos, mapq, cigar = fields[:6]
+            recs.append(
+                (qname, int(flag), rname, int(pos), int(mapq), cigar, fields[9])
+            )
     return recs
 
 
@@ -73,7 +84,8 @@ def test_golden_minimap2_record_parity():
 
     sketches: dict[str, ae.QuerySketch] = {}
     tasks, expected = [], []
-    for i, (qname, flag, rname, pos, cigar, seq) in enumerate(recs):
+    n_sub60 = 0
+    for i, (qname, flag, rname, pos, mapq, cigar, seq) in enumerate(recs):
         ops = _parse_cigar(cigar)
         assert {op for _, op in ops} <= {"=", "X"} and sum(
             n for n, _ in ops
@@ -90,7 +102,15 @@ def test_golden_minimap2_record_parity():
         p0 = pos - 1 if pos <= 3001 else 1500 + pos % 997
         flank_l = "".join(map(chr, rng.choice(bases, p0)))
         flank_r = "".join(map(chr, rng.choice(bases, 300)))
-        contig = flank_l + ref_seg + flank_r
+        # sub-60 golden MAPQ pins the secondary locus the real genome held
+        # (see module docstring): plant it downstream of the primary
+        if mapq < 60:
+            n_sub60 += 1
+            sec = ref_seg if mapq == 0 else ref_seg[:75] + ref_seg[76:]
+            sec_tail = "".join(map(chr, rng.choice(bases, 300)))
+            contig = flank_l + ref_seg + flank_r + sec + sec_tail
+        else:
+            contig = flank_l + ref_seg + flank_r
         ref = opm.build_ref_index(
             f"g{i}", [(rname, encode_seq(contig.encode()))], params.k, params.w
         )
@@ -103,13 +123,14 @@ def test_golden_minimap2_record_parity():
             # agree — validates the strand bookkeeping of the reconstruction
             assert sk.seq == read
         tasks.append(ae.make_pair(ref, sk, params))
-        expected.append((qname, flag, rname, p0 + 1, cigar, seq))
+        expected.append((qname, flag, rname, p0 + 1, mapq, cigar, seq))
+    assert n_sub60 >= 50  # the golden set's MAPQ 48 / 0 families
 
     out = ae.flush_pairs(tasks, params)
     assert len(out) == len(expected)
     mismatches = []
-    for rec, (qname, flag, rname, pos, cigar, seq) in zip(out, expected):
-        got = (rec.qname, rec.flag, rec.rname, rec.pos, rec.cigar, rec.seq)
-        if got != (qname, flag, rname, pos, cigar, seq):
-            mismatches.append((got, (qname, flag, rname, pos, cigar, seq)))
+    for rec, (qname, flag, rname, pos, mapq, cigar, seq) in zip(out, expected):
+        got = (rec.qname, rec.flag, rec.rname, rec.pos, rec.mapq, rec.cigar, rec.seq)
+        if got != (qname, flag, rname, pos, mapq, cigar, seq):
+            mismatches.append((got, (qname, flag, rname, pos, mapq, cigar, seq)))
     assert not mismatches, mismatches[:5]
