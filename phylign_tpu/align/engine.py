@@ -1544,13 +1544,18 @@ def _fused_finish(
     for s in range(n_sup):
         sup_mask |= np.int32(fz.F_SUP0 << s)
     probe_rows = np.flatnonzero((flags & fz.F_PROBE) != 0)
-    # every non-FULL primary delegates to the host extension path: gapped
-    # rows need a traceback, and gapless-but-trimmable rows need the
-    # z-drop/end_bonus emission pass (_zdrop_parts), which reads the chain
-    # span from the cold payload
+    # non-FULL primaries split two ways: truly GAPPED rows (no diagonal
+    # optimum) need a device traceback and delegate to the host extension
+    # path; gapless-but-trimmable rows (F_DIAG set, F_FULL clear) only need
+    # the z-drop/end_bonus emission pass (_zdrop_parts) on the mismatch
+    # bitmask already fetched here — they are finished INLINE below, no
+    # second device round trip. Both read the chain span from the cold
+    # payload, so ``need`` covers both.
     need = (has & ~full) | ((flags & (sup_mask | fz.F_PROBE)) != 0)
     need_rows = np.flatnonzero(need)
-    gap_rows = np.flatnonzero(has & ~full).tolist()
+    gap_rows = np.flatnonzero(has & ~full & ~diag).tolist()
+    trim_rows = np.flatnonzero(has & ~full & diag).tolist()
+    cold_i = None
     if len(need_rows):
         if compacted and len(need_rows) <= fz.COLD_CAP:
             # compact slot j holds cold data of the j-th needed row
@@ -1612,11 +1617,13 @@ def _fused_finish(
     # a first-order cost). Non-full rows were delegated above.
     fast = np.flatnonzero(has & full)
     m_s, x_s = params.scoring.match, params.scoring.mismatch
-    mrow, mcol = np.nonzero(neq_mask[fast])
+    inline_rows = np.flatnonzero(has & (full | diag))
+    mrow, mcol = np.nonzero(neq_mask[inline_rows])
     mis_of: dict[int, list[int]] = {}
-    fast_l = fast.tolist()
+    inline_l = inline_rows.tolist()
     for r_, c_ in zip(mrow.tolist(), mcol.tolist()):
-        mis_of.setdefault(fast_l[r_], []).append(c_)
+        mis_of.setdefault(inline_l[r_], []).append(c_)
+    fast_l = fast.tolist()
     neq_cnt = neq_mask.sum(axis=1, dtype=np.int64)
     # vectorized twins of the per-record scalars (valid for FULL rows; the
     # trim path recomputes from its trimmed cigar)
@@ -1717,6 +1724,61 @@ def _fused_finish(
             ],
             mapq_meta=meta,
         )
+
+    # inline trim path: gapless rows that failed the full-span/z-drop check
+    # (mismatch within ~5 bp of an end, or an internal z-drop run). Their
+    # CIGAR comes from the same mismatch bitmask as the fast path; only the
+    # emission trimming (_zdrop_parts) differs. MAPQ always defers to
+    # _group_task_records (trim changes dp_score, and s2/probe state rides
+    # along) — byte-identical to the former delegate-to-extension path.
+    for i in trim_rows:
+        ti = tis[i]
+        sk = tasks[ti].sketch
+        strand = strand_l[i]
+        cig = _cigar_from_mismatches(mis_of.get(i, ()), qlen_l[i])
+        emit = _zdrop_parts(
+            cig, int(cold_i[i, 0]), int(cold_i[i, 1]), params
+        )
+        for pk, (pcig, lead_r, dp_score) in enumerate(emit):
+            n_eq = n_x = n_i = n_d = 0
+            parts = []
+            for nn, op in pcig:
+                parts.append(f"{nn}{op}")
+                if op == "=":
+                    n_eq += nn
+                elif op == "X":
+                    n_x += nn
+                elif op == "I":
+                    n_i += nn
+                elif op == "D":
+                    n_d += nn
+            nm = n_x + n_i + n_d
+            de = round(nm / max(1, n_eq + nm), 4)
+            key = (ti, 0) if pk == 0 else (ti, SPLIT_SEG0 + pk)
+            records[key] = SamRecord(
+                qname=sk.name,
+                flag=(16 if strand else 0) | (2048 if key[1] else 0),
+                rname=names[ci_l[i]],
+                pos=rel0_l[i] + end_l[i] + lead_r + 1,
+                mapq=0,  # finalized by _group_task_records from mapq_meta
+                cigar="".join(parts),
+                seq=sk.rc_seq() if strand else sk.seq,
+                tags=[
+                    f"NM:i:{nm}",
+                    f"ms:i:{int(dp_score)}",
+                    f"AS:i:{int(dp_score)}",
+                    "nn:i:0",
+                    "tp:A:P",
+                    f"cm:i:{cm_l[i]}",
+                    f"s1:i:{s1_l[i]}",
+                    f"s2:i:{s2i_l[i]}",
+                    f"de:f:{de}",
+                    f"rl:i:{rep_a[i]}",
+                ],
+                mapq_meta=(
+                    float(sc_l[i]), float(s2_l[i]), cm_l[i], int(dp_score)
+                ),
+            )
     return records, delegated, [tis[i] for i in np.flatnonzero(has).tolist()]
 
 
