@@ -20,6 +20,7 @@ the golden file's flag set.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Iterator, Sequence
 
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from phylign_tpu.io.asmtar import iter_batch_assemblies
-from phylign_tpu.io.sam import SamRecord, unmapped_record
+from phylign_tpu.io.sam import RawSamRecord, SamRecord, unmapped_record
 from phylign_tpu.kmer import decode_seq, encode_seq, revcomp_codes
 from phylign_tpu.match.filter import FilteredQuery
 from phylign_tpu.ops import chain as opc
@@ -1341,6 +1342,7 @@ class _FusedCtx:
     mesh: object
     contig_names: list[str]  # global contig id -> rname
     out_dev: object  # (ints, flts, neq_pack) device handles
+    p_pad: int = 0  # padded pair rows (packed single-device fetch unpack)
 
 
 def _fused_dispatch(
@@ -1477,18 +1479,91 @@ def _fused_dispatch(
     if mesh is not None:
         out = fz.dist_select_extend(mesh, tuple(chains), *dev_in, **kw)
     else:
-        out = fz.select_extend(tuple(chains), *dev_in, **kw)
+        # pack=True: hot/flts/neq/compact-cold ride ONE u8 buffer — a single
+        # D2H round trip per chunk through the relay
+        out = fz.select_extend(tuple(chains), *dev_in, pack=True, **kw)
         # start the D2H of the hot payload NOW (async, follows the compute):
         # by the time _fused_finish fetches, the bytes are already host-side
-        for arr in jax.tree_util.tree_leaves(out[:4]):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:  # pragma: no cover - backend-dependent
-                break
+        try:
+            out[0].copy_to_host_async()
+        except AttributeError:  # pragma: no cover - backend-dependent
+            pass
     return _FusedCtx(
         tasks=tasks, tis=tis, lmax=lmax, params=params, mesh=mesh,
-        contig_names=contig_names, out_dev=out,
+        contig_names=contig_names, out_dev=out, p_pad=p,
     )
+
+
+#: de:f tag strings by rounded value — tiny cardinality (nm/qlen pairs),
+#: shared across flushes so the native path never re-does float repr work
+_DE_STR_CACHE: dict[float, str] = {}
+
+
+def _assemble_fast_native(
+    tasks, tis, nat, contig_names, strand_a, ci_a, pos_v, mapq_v, dp_v,
+    cm_v, s1_v, s2i_v, de_v, neq_mask, q_len, rep_a,
+):
+    """Assemble the given FULL non-deferred rows' final SAM lines natively
+    (hostio.cpp assemble_sam_lines): CIGAR from mismatch columns, SEQ
+    (incl. reverse complement) from the 2-bit codes, full tag block —
+    replacing the per-record python f-string loop, the align stage's
+    measured host hot spot. Returns {(ti, 0): RawSamRecord} or None when
+    the native library is unavailable / names are non-ascii (caller runs
+    the python loop instead, which stays as the byte-parity oracle)."""
+    from phylign_tpu.native import native_assemble_sam_lines
+
+    nat_l = nat.tolist()
+    sks = [tasks[tis[i]].sketch for i in nat_l]
+    name_list = [sk.name for sk in sks]
+    qjoin = "".join(name_list)
+    qname_buf = qjoin.encode()
+    rjoin = "".join(contig_names)
+    rname_buf = rjoin.encode()
+    if len(qname_buf) != len(qjoin) or len(rname_buf) != len(rjoin):
+        return None  # non-ascii names: byte offsets would diverge
+    qname_off = np.zeros(len(nat_l) + 1, np.int64)
+    np.cumsum([len(s) for s in name_list], out=qname_off[1:])
+    rname_off = np.zeros(len(contig_names) + 1, np.int64)
+    np.cumsum([len(s) for s in contig_names], out=rname_off[1:])
+    seq_codes = (
+        np.concatenate([sk.codes for sk in sks])
+        if sks
+        else np.zeros(0, np.uint8)
+    )
+    seq_off = np.zeros(len(nat_l) + 1, np.int64)
+    np.cumsum(q_len[nat], out=seq_off[1:])
+    r2, c2 = np.nonzero(neq_mask[nat])
+    mis_off = np.zeros(len(nat_l) + 1, np.int64)
+    np.cumsum(np.bincount(r2, minlength=len(nat_l)), out=mis_off[1:])
+    cache = _DE_STR_CACHE
+    de_parts = []
+    for v in de_v[nat].tolist():
+        s = cache.get(v)
+        if s is None:
+            s = cache.setdefault(v, str(v))
+        de_parts.append(s)
+    de_buf = "".join(de_parts).encode()
+    de_off = np.zeros(len(nat_l) + 1, np.int64)
+    np.cumsum([len(s) for s in de_parts], out=de_off[1:])
+    flags_nat = (strand_a[nat] * 16).astype(np.int32)
+    out = native_assemble_sam_lines(
+        qname_buf, qname_off, flags_nat, rname_buf, rname_off, ci_a[nat],
+        pos_v[nat], mapq_v[nat], c2, mis_off, q_len[nat], seq_codes,
+        seq_off, dp_v[nat], cm_v[nat], s1_v[nat], s2i_v[nat],
+        np.asarray(rep_a, np.int64)[nat], de_buf, de_off,
+    )
+    if out is None:
+        return None
+    blob, line_off = out
+    text = blob.decode("ascii")
+    offs = line_off.tolist()
+    fl = flags_nat.tolist()
+    return {
+        (tis[i], 0): RawSamRecord(
+            text, offs[j], offs[j + 1], name_list[j], fl[j]
+        )
+        for j, i in enumerate(nat_l)
+    }
 
 
 def _fused_finish(
@@ -1509,9 +1584,29 @@ def _fused_finish(
     tasks = ctx.tasks
     n = len(tis)
     n_sup = max(0, params.max_segments - 1)
-    compacted = len(ctx.out_dev) == 5  # single-device: compact cold on board
+    compacted = len(ctx.out_dev) == 2  # single-device: ONE packed u8 fetch
     if compacted:
-        hot, flts, neqp, (cc_i, cc_f) = jax.device_get(ctx.out_dev[:4])
+        packed = jax.device_get(ctx.out_dev[0])
+        p_pad, nb = ctx.p_pad, lmax // 8
+        ci_cols = 4 + 6 * n_sup + 5
+        o = 0
+        hot = packed[o : o + 16 * p_pad].view(np.int32).reshape(p_pad, 4)
+        o += 16 * p_pad
+        flts = packed[o : o + 8 * p_pad].view(np.float32).reshape(p_pad, 2)
+        o += 8 * p_pad
+        neqp = packed[o : o + nb * p_pad].reshape(p_pad, nb)
+        o += nb * p_pad
+        cc_i = (
+            packed[o : o + 4 * fz.COLD_CAP * ci_cols]
+            .view(np.int32)
+            .reshape(fz.COLD_CAP, ci_cols)
+        )
+        o += 4 * fz.COLD_CAP * ci_cols
+        cc_f = (
+            packed[o:].view(np.float32).reshape(fz.COLD_CAP, n_sup)
+            if n_sup
+            else np.zeros((fz.COLD_CAP, 0), np.float32)
+        )
     else:
         hot, flts, neqp = jax.device_get(ctx.out_dev[:3])
 
@@ -1680,6 +1775,22 @@ def _fused_finish(
     s2i_l = s2i_v.tolist()
     pos_l = pos_v.tolist()
     names = ctx.contig_names
+    # native line assembly for the non-deferred FULL rows (the overwhelming
+    # sr case): MAPQ is final, the group is a single primary, so the whole
+    # line can be built now in C++ and never touched again
+    if len(fast) and os.environ.get("PHYLIGN_TPU_NATIVE_SAM", "1") != "0":
+        nat_mask = np.zeros(n, bool)
+        nat_mask[fast] = True
+        nat_mask &= ~defer_v
+        nat = np.flatnonzero(nat_mask)
+        if len(nat):
+            nat_recs = _assemble_fast_native(
+                tasks, tis, nat, names, strand_a, ci_a, pos_v, mapq_v,
+                dp_v, cm_v, s1_v, s2i_v, de_v, neq_mask, q_len, rep_a,
+            )
+            if nat_recs is not None:
+                records.update(nat_recs)
+                fast_l = fast[~nat_mask[fast]].tolist()
     perfect_cig: dict[int, str] = {}  # qlen -> "L=" (zero-mismatch cigar)
     for i in fast_l:
         nm = nm_l[i]

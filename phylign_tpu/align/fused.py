@@ -358,11 +358,18 @@ def _compact_cold(hot, cold_i, cold_f):
     return ci, cf
 
 
+def _bitcast_u8(a):
+    """Flatten any int32/float32/uint8 array to its little-endian bytes."""
+    if a.dtype == jnp.uint8:
+        return a.reshape(-1)
+    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "lmax", "wlen", "half", "scoring", "min_cnt", "min_score",
-        "max_segments", "zdrop",
+        "max_segments", "zdrop", "pack",
     ),
 )
 def select_extend(
@@ -384,11 +391,18 @@ def select_extend(
     min_score: float,
     max_segments: int,
     zdrop: int = 100,
+    pack: bool = False,
 ):
     """Single-device fused selection + extension over per-bucket chain
     results (device arrays from ops.chain — never fetched). Returns
     (hot, flts, neq_pack, cold_compact, cold_full); callers fetch the first
-    four together and cold_full only on compaction overflow."""
+    four together and cold_full only on compaction overflow.
+
+    ``pack=True`` instead returns (packed_u8, cold_full) with hot / flts /
+    neq / compacted-cold bitcast into ONE 1-D byte buffer: through the axon
+    relay every separate device_get costs a full round trip, so the
+    production flush fetches a single array per chunk
+    (engine._fused_finish unpacks by fixed offsets)."""
     hot, flts, neq_pack, cold = _select_extend_core(
         _flatten_chains(chains),
         cand_map, pair_base, pair_reflen, q_pack2, q_len, pool_pack,
@@ -397,7 +411,13 @@ def select_extend(
         min_cnt=min_cnt, min_score=min_score, max_segments=max_segments,
         zdrop=zdrop,
     )
-    return hot, flts, neq_pack, _compact_cold(hot, *cold), cold
+    cc_i, cc_f = _compact_cold(hot, *cold)
+    if not pack:
+        return hot, flts, neq_pack, (cc_i, cc_f), cold
+    packed = jnp.concatenate(
+        [_bitcast_u8(a) for a in (hot, flts, neq_pack, cc_i, cc_f)]
+    )
+    return packed, cold
 
 
 def dist_select_extend(

@@ -55,6 +55,71 @@ class SamRecord:
         return "\t".join(fields + self.tags)
 
 
+class RawSamRecord:
+    """A record whose final SAM line was assembled natively (one str slice
+    of a per-chunk text blob; native/hostio.cpp assemble_sam_lines).
+
+    Duck-types the post-assembly ``SamRecord`` surface: ``to_line`` /
+    ``qname`` / ``flag`` are O(1); the remaining fields parse lazily from
+    the line (only tests and rare fallbacks touch them). ``mapq_meta`` is
+    always None — rows with deferred MAPQ take the python SamRecord path.
+    Equality is by emitted line bytes, matching SamRecord field equality
+    for any fully-assembled record."""
+
+    __slots__ = ("_text", "_s", "_e", "qname", "flag")
+    mapq_meta = None
+
+    def __init__(self, text: str, s: int, e: int, qname: str, flag: int):
+        self._text = text
+        self._s = s
+        self._e = e
+        self.qname = qname
+        self.flag = flag
+
+    def to_line(self) -> str:
+        return self._text[self._s : self._e]
+
+    def _field(self, i: int) -> str:
+        return self.to_line().split("\t")[i]
+
+    @property
+    def rname(self) -> str:
+        return self._field(2)
+
+    @property
+    def pos(self) -> int:
+        return int(self._field(3))
+
+    @property
+    def mapq(self) -> int:
+        return int(self._field(4))
+
+    @property
+    def cigar(self) -> str:
+        return self._field(5)
+
+    @property
+    def seq(self) -> str:
+        return self._field(9)
+
+    @property
+    def tags(self) -> list[str]:
+        return self.to_line().split("\t")[11:]
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, RawSamRecord):
+            return self.to_line() == other.to_line()
+        if isinstance(other, SamRecord):
+            return self.to_line() == other.to_line()
+        return NotImplemented
+
+    def __hash__(self) -> int:
+        return hash(self.to_line())
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"RawSamRecord({self.to_line()!r})"
+
+
 def unmapped_record(qname: str, seq: str) -> SamRecord:
     # minimap2 emits unmapped records without optional tags
     return SamRecord(qname, 4, "*", 0, 0, "*", seq, [])

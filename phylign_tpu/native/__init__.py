@@ -158,6 +158,20 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64),
     ]
 
+    lib.assemble_sam_lines.restype = ctypes.c_int64
+    lib.assemble_sam_lines.argtypes = [
+        ctypes.c_int64,  # n
+        _u8p, _i64p,  # qname buf/off
+        _i32p,  # flag
+        _u8p, _i64p, _i32p,  # rname table buf/off + cid
+        _i32p, _i32p,  # pos, mapq
+        _i32p, _i64p, _i32p,  # mis_cols, mis_off, qlen
+        _u8p, _i64p,  # seq codes buf/off (forward strand)
+        _i32p, _i32p, _i64p, _i64p, _i32p,  # dp, cm, s1, s2, rl
+        _u8p, _i64p,  # de strings buf/off (preformatted)
+        _u8p, ctypes.c_int64, _i64p,  # out, out_cap, line_off
+    ]
+
     _lib = lib
     return lib
 
@@ -217,6 +231,103 @@ def native_xxh64(data: bytes, seed: int = 0) -> int | None:
     if lib is None:
         return None
     return int(lib.xxh64(data, len(data), seed))
+
+
+def native_assemble_sam_lines(
+    qname_buf: bytes,
+    qname_off: np.ndarray,
+    flag: np.ndarray,
+    rname_buf: bytes,
+    rname_off: np.ndarray,
+    cid: np.ndarray,
+    pos: np.ndarray,
+    mapq: np.ndarray,
+    mis_cols: np.ndarray,
+    mis_off: np.ndarray,
+    qlen: np.ndarray,
+    seq_codes: np.ndarray,
+    seq_off: np.ndarray,
+    dp: np.ndarray,
+    cm: np.ndarray,
+    s1: np.ndarray,
+    s2: np.ndarray,
+    rl: np.ndarray,
+    de_buf: bytes,
+    de_off: np.ndarray,
+) -> tuple[bytes, np.ndarray] | None:
+    """Assemble full gapless-record SAM lines natively.
+
+    Returns (line bytes, int64 offsets [n+1]) or None when the library is
+    unavailable (callers fall back to the per-record python assembly).
+    Inputs: concatenated-buffer + offset pairs for qnames / contig-name
+    table / forward 2-bit seq codes / preformatted de:f strings; int arrays
+    for everything else. CIGARs are derived from each record's sorted
+    mismatch columns; flag bit 0x10 makes the C side emit the
+    reverse-complement SEQ."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(flag)
+    qname_off = np.ascontiguousarray(qname_off, np.int64)
+    rname_off = np.ascontiguousarray(rname_off, np.int64)
+    mis_off = np.ascontiguousarray(mis_off, np.int64)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    de_off = np.ascontiguousarray(de_off, np.int64)
+    flag = np.ascontiguousarray(flag, np.int32)
+    cid = np.ascontiguousarray(cid, np.int32)
+    pos = np.ascontiguousarray(pos, np.int32)
+    mapq = np.ascontiguousarray(mapq, np.int32)
+    mis_cols = np.ascontiguousarray(mis_cols, np.int32)
+    qlen = np.ascontiguousarray(qlen, np.int32)
+    seq_codes = np.ascontiguousarray(seq_codes, np.uint8)
+    dp = np.ascontiguousarray(dp, np.int32)
+    cm = np.ascontiguousarray(cm, np.int32)
+    s1 = np.ascontiguousarray(s1, np.int64)
+    s2 = np.ascontiguousarray(s2, np.int64)
+    rl = np.ascontiguousarray(rl, np.int32)
+    max_rname = int(np.diff(rname_off).max()) if len(rname_off) > 1 else 0
+    cap = int(
+        230 * n
+        + len(qname_buf)
+        + len(de_buf)
+        + int(seq_off[-1])
+        + 12 * len(mis_cols)
+        + n * max_rname
+    )
+    out = np.empty(cap, np.uint8)
+    line_off = np.empty(n + 1, np.int64)
+    qb = np.frombuffer(qname_buf, np.uint8) if qname_buf else np.zeros(1, np.uint8)
+    rb = np.frombuffer(rname_buf, np.uint8) if rname_buf else np.zeros(1, np.uint8)
+    db = np.frombuffer(de_buf, np.uint8) if de_buf else np.zeros(1, np.uint8)
+    total = lib.assemble_sam_lines(
+        n,
+        _u8ptr(qb),
+        qname_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        flag.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8ptr(rb),
+        rname_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mapq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mis_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mis_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8ptr(seq_codes if seq_codes.size else np.zeros(1, np.uint8)),
+        seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        s1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        s2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8ptr(db),
+        de_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _u8ptr(out),
+        cap,
+        line_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if total < 0:  # pragma: no cover - capacity bound is generous
+        return None
+    return out[:total].tobytes(), line_off
 
 
 class ParsedMatchFile:

@@ -599,4 +599,161 @@ int64_t filter_topk_rows(const int64_t* q, const int32_t* score,
   return out;
 }
 
+// ------------------------------------------------------- SAM line assembly
+//
+// Full headerless-SAM line bytes for GAPLESS (=/X-only) fast-path records —
+// the align stage's host hot loop (engine._fused_finish; replaces the
+// per-record python f-string/join work, the reference's equivalent being
+// minimap2's own sam.c writer, /root/reference/scripts/batch_align.py:264).
+// CIGAR is built from each record's sorted mismatch columns; SEQ from the
+// forward 2-bit codes (reverse-complemented here when flag has 0x10, so the
+// python side never needs the rc string). Tag block layout is fixed:
+//   NM ms AS nn tp cm s1 s2 de rl  (de arrives preformatted: python's float
+// repr rules are not worth reimplementing; its cardinality is tiny and the
+// caller caches the strings).
+//
+// Two-phase parallel: workers format their record ranges into private
+// buffers, then copy into `out` at exact offsets after a prefix scan.
+// Returns total bytes written, or -1 if out_cap is too small.
+
+static inline char* sam_put_i64(char* p, int64_t v) {
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+int64_t assemble_sam_lines(
+    int64_t n, const uint8_t* qname_buf, const int64_t* qname_off,
+    const int32_t* flag, const uint8_t* rname_buf, const int64_t* rname_off,
+    const int32_t* cid, const int32_t* pos, const int32_t* mapq,
+    const int32_t* mis_cols, const int64_t* mis_off, const int32_t* qlen,
+    const uint8_t* seq_codes, const int64_t* seq_off, const int32_t* dp,
+    const int32_t* cm, const int64_t* s1, const int64_t* s2,
+    const int32_t* rl, const uint8_t* de_buf, const int64_t* de_off,
+    uint8_t* out, int64_t out_cap, int64_t* line_off) {
+  static const char FWD[4] = {'A', 'C', 'G', 'T'};
+  static const char REV[4] = {'T', 'G', 'C', 'A'};
+  unsigned hw = std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("PHYLIGN_TPU_NATIVE_THREADS")) {
+    long v = std::atol(env);
+    if (v > 0) hw = (unsigned)v;
+  }
+  int64_t t = std::min<int64_t>(hw ? hw : 1, 16);
+  t = std::max<int64_t>(1, std::min(t, n / 2048));
+  int64_t chunk = (n + t - 1) / t;
+  std::vector<std::string> bufs((size_t)t);
+  std::vector<std::thread> workers;
+  for (int64_t w = 0; w < t; w++) {
+    int64_t b = w * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    std::string* buf = &bufs[(size_t)w];
+    workers.emplace_back([=] {
+      // conservative bound per record: fields + 20-digit ints + cigar runs
+      int64_t bound = 0;
+      for (int64_t i = b; i < e; i++)
+        bound += 220 + (qname_off[i + 1] - qname_off[i]) +
+                 (rname_off[cid[i] + 1] - rname_off[cid[i]]) + qlen[i] +
+                 12 * (mis_off[i + 1] - mis_off[i]) +
+                 (de_off[i + 1] - de_off[i]);
+      buf->resize((size_t)bound);
+      char* p = &(*buf)[0];
+      const char* base = p;
+      for (int64_t i = b; i < e; i++) {
+        line_off[i + 1] = -(int64_t)(p - base);  // length marker, fixed below
+        int64_t qn = qname_off[i + 1] - qname_off[i];
+        std::memcpy(p, qname_buf + qname_off[i], (size_t)qn);
+        p += qn;
+        *p++ = '\t';
+        p = sam_put_i64(p, flag[i]);
+        *p++ = '\t';
+        int64_t rn = rname_off[cid[i] + 1] - rname_off[cid[i]];
+        std::memcpy(p, rname_buf + rname_off[cid[i]], (size_t)rn);
+        p += rn;
+        *p++ = '\t';
+        p = sam_put_i64(p, pos[i]);
+        *p++ = '\t';
+        p = sam_put_i64(p, mapq[i]);
+        *p++ = '\t';
+        // cigar from sorted mismatch columns (coalescing adjacent X)
+        int32_t prev = 0, L = qlen[i];
+        for (int64_t m = mis_off[i]; m < mis_off[i + 1];) {
+          int32_t c = mis_cols[m];
+          if (c > prev) {
+            p = sam_put_i64(p, c - prev);
+            *p++ = '=';
+          }
+          int64_t m2 = m + 1;
+          while (m2 < mis_off[i + 1] && mis_cols[m2] == mis_cols[m2 - 1] + 1)
+            m2++;
+          p = sam_put_i64(p, m2 - m);
+          *p++ = 'X';
+          prev = mis_cols[m2 - 1] + 1;
+          m = m2;
+        }
+        if (L > prev) {
+          p = sam_put_i64(p, L - prev);
+          *p++ = '=';
+        }
+        std::memcpy(p, "\t*\t0\t0\t", 7);
+        p += 7;
+        const uint8_t* sc = seq_codes + seq_off[i];
+        if (flag[i] & 0x10)
+          for (int32_t j = L - 1; j >= 0; j--) *p++ = REV[sc[j] & 3];
+        else
+          for (int32_t j = 0; j < L; j++) *p++ = FWD[sc[j] & 3];
+        std::memcpy(p, "\t*\tNM:i:", 8);
+        p += 8;
+        p = sam_put_i64(p, mis_off[i + 1] - mis_off[i]);
+        std::memcpy(p, "\tms:i:", 6);
+        p += 6;
+        p = sam_put_i64(p, dp[i]);
+        std::memcpy(p, "\tAS:i:", 6);
+        p += 6;
+        p = sam_put_i64(p, dp[i]);
+        std::memcpy(p, "\tnn:i:0\ttp:A:P\tcm:i:", 20);
+        p += 20;
+        p = sam_put_i64(p, cm[i]);
+        std::memcpy(p, "\ts1:i:", 6);
+        p += 6;
+        p = sam_put_i64(p, s1[i]);
+        std::memcpy(p, "\ts2:i:", 6);
+        p += 6;
+        p = sam_put_i64(p, s2[i]);
+        std::memcpy(p, "\tde:f:", 6);
+        p += 6;
+        int64_t dn = de_off[i + 1] - de_off[i];
+        std::memcpy(p, de_buf + de_off[i], (size_t)dn);
+        p += dn;
+        std::memcpy(p, "\trl:i:", 6);
+        p += 6;
+        p = sam_put_i64(p, rl[i]);
+        line_off[i + 1] += (int64_t)(p - base);  // now the record's length
+      }
+      buf->resize((size_t)(p - base));
+    });
+  }
+  for (auto& w : workers) w.join();
+  line_off[0] = 0;
+  for (int64_t i = 0; i < n; i++) line_off[i + 1] += line_off[i];
+  if (line_off[n] > out_cap) return -1;
+  // copy per-worker buffers to their exact output spans
+  int64_t copied = 0;
+  for (int64_t w = 0; w < t; w++) {
+    const std::string& s = bufs[(size_t)w];
+    if (s.empty()) continue;
+    std::memcpy(out + copied, s.data(), s.size());
+    copied += (int64_t)s.size();
+  }
+  return line_off[n];
+}
+
 }  // extern "C"
