@@ -27,7 +27,7 @@ from typing import Iterator, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from phylign_tpu.io.asmtar import iter_batch_assemblies
+from phylign_tpu.io.asmtar import iter_assemblies_cached, iter_batch_assemblies
 from phylign_tpu.io.sam import RawSamRecord, SamRecord, unmapped_record
 from phylign_tpu.kmer import decode_seq, encode_seq, revcomp_codes
 from phylign_tpu.match.filter import FilteredQuery
@@ -2180,6 +2180,7 @@ def align_batch(
     device_lock=None,
     pair_chunk: int = 4096,
     sketch_cache: dict[int, QuerySketch] | None = None,
+    asm_cache_dir: str | None = None,
 ) -> Iterator[SamRecord]:
     """Align a batch: stream candidate genomes out of the tar and emit SAM
     records (mirrors batch_align.py map_queries_to_batch, device-batched).
@@ -2239,7 +2240,9 @@ def align_batch(
         with _lk:
             return flush_pairs_end(ff)
 
-    for rname, contigs in iter_batch_assemblies(tar_path, set(rname_to_q)):
+    for rname, contigs in iter_assemblies_cached(
+        tar_path, set(rname_to_q), asm_cache_dir
+    ):
         ref = opm.build_ref_index(rname, contigs, params.k, params.w, hpc=params.hpc)
         sks = []
         for qi in rname_to_q[rname]:
@@ -2286,6 +2289,7 @@ def align_batches_pooled(
     pair_chunk: int = 16384,
     sketch_cache: dict[int, QuerySketch] | None = None,
     producers: int = 2,
+    asm_cache_dir: str | None = None,
 ) -> Iterator[tuple[str, list[SamRecord]]]:
     """Align MANY batches with one shared device-flush pipeline, pooling
     (query, genome) pairs ACROSS batch boundaries.
@@ -2332,8 +2336,8 @@ def align_batches_pooled(
             # per-segment ref pin budget: the coordinator holds at most
             # queue-size + pool segments alive, so each stays modest
             ref_budget = 128 << 20
-            for rname, contigs in iter_batch_assemblies(
-                tar_path, set(rname_to_q)
+            for rname, contigs in iter_assemblies_cached(
+                tar_path, set(rname_to_q), asm_cache_dir
             ):
                 if stop.is_set():
                     return

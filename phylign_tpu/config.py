@@ -68,6 +68,13 @@ class Config:
     # amortize them; the [Q, 32*Wp] transient score matrix bounds it above
     # (8192 x 2176 x 4 B = 71 MB at the largest real batch width).
     device_query_chunk: int = 8192
+    # decoded-genome disk cache for assembly tars: one sequential tar.xz
+    # pass per batch writes 2-bit-coded contigs to
+    # intermediate/02_asms_decoded/, and later align runs mmap ONLY the
+    # candidate genomes' bytes instead of re-streaming the whole archive
+    # (the asm analogue of keep_cobs_indexes; costs ~decompressed-genome
+    # disk per batch — disable at full 661k scale if disk is tight).
+    asm_cache: bool = True
     # cross-query k-mer dedup in the match kernel (two-stage gather; beats
     # the gather roofline at >= ~45% shared k-mers, bit-identical output).
     # Opt-in: the host-side unique pass only pays off on hosts where it is

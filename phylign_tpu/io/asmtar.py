@@ -49,6 +49,101 @@ def iter_batch_assemblies(
             yield rname, contigs
 
 
+class AsmCache:
+    """Decoded-genome disk cache for one batch tar.
+
+    One sequential tar.xz pass writes every genome's 2-bit-coded contigs
+    (uint8 codes 0..3) into a single blob + a contig table; later align
+    runs mmap the blob and touch ONLY candidate genomes' bytes. This is
+    the assembly analogue of the reference's decompressed-index cache
+    (config.yaml:131-138): the reference re-streams the whole tar.xz per
+    run (batch_align.py:93-123) because CPU minimap2 wants FASTA text —
+    decoded codes ARE this build's native genome format, so the cache
+    also skips re-parsing and re-encoding."""
+
+    def __init__(self, blob: np.ndarray, genomes: list, order: list[str]):
+        self._blob = blob  # uint8 mmap
+        self._genomes = dict(genomes)  # rname -> [(cname, off, length)]
+        self._order = order  # tar member order (record-order contract)
+
+    def iter_selected(
+        self, selected: set[str] | None = None
+    ) -> Iterator[tuple[str, list[tuple[str, np.ndarray]]]]:
+        """iter_batch_assemblies-compatible iteration from the cache."""
+        for rname in self._order:
+            if selected is not None and rname not in selected:
+                continue
+            yield rname, [
+                (cname, self._blob[off : off + ln])
+                for cname, off, ln in self._genomes[rname]
+            ]
+
+
+def _tar_sig(tar_path: Path) -> list[int]:
+    st = tar_path.stat()
+    return [st.st_mtime_ns, st.st_size]
+
+
+def open_asm_cache(
+    tar_path: str | os.PathLike, cache_dir: str | os.PathLike
+) -> AsmCache:
+    """Open (building on first use) the decoded-genome cache for a tar."""
+    import json
+
+    tar_path = Path(tar_path)
+    cache_dir = Path(cache_dir)
+    stem = tar_path.name.split(".")[0]
+    meta_p = cache_dir / f"{stem}.json"
+    bin_p = cache_dir / f"{stem}.codes"
+    sig = _tar_sig(tar_path)
+    if meta_p.exists() and bin_p.exists():
+        try:
+            meta = json.loads(meta_p.read_text())
+        except ValueError:
+            meta = None
+        if meta and meta.get("tar_sig") == sig:
+            blob = np.memmap(bin_p, dtype=np.uint8, mode="r")
+            return AsmCache(blob, meta["genomes"], meta["order"])
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    order: list[str] = []
+    genomes: list[tuple[str, list]] = []
+    off = 0
+    tmp_bin = bin_p.with_suffix(".codes.tmp")
+    with open(tmp_bin, "wb") as out:
+        for rname, contigs in iter_batch_assemblies(tar_path):
+            order.append(rname)
+            table = []
+            for cname, codes in contigs:
+                out.write(codes.tobytes())
+                table.append((cname, off, int(codes.shape[0])))
+                off += int(codes.shape[0])
+            genomes.append((rname, table))
+    tmp_meta = meta_p.with_suffix(".json.tmp")
+    tmp_meta.write_text(
+        json.dumps({"tar_sig": sig, "order": order, "genomes": genomes})
+    )
+    os.replace(tmp_bin, bin_p)  # blob first: meta presence implies blob
+    os.replace(tmp_meta, meta_p)
+    blob = (
+        np.memmap(bin_p, dtype=np.uint8, mode="r")
+        if off
+        else np.zeros(0, np.uint8)
+    )
+    return AsmCache(blob, genomes, order)
+
+
+def iter_assemblies_cached(
+    tar_path: str | os.PathLike,
+    selected: set[str] | None = None,
+    cache_dir: str | os.PathLike | None = None,
+) -> Iterator[tuple[str, list[tuple[str, np.ndarray]]]]:
+    """iter_batch_assemblies, served from the decoded cache when enabled."""
+    if cache_dir is None:
+        yield from iter_batch_assemblies(tar_path, selected)
+        return
+    yield from open_asm_cache(tar_path, cache_dir).iter_selected(selected)
+
+
 def write_batch_tar(
     tar_path: str | os.PathLike,
     genomes: Iterable[tuple[str, list[tuple[str, bytes]]]],

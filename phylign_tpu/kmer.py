@@ -229,6 +229,20 @@ def cobs_kmer_hashes(
     return out
 
 
+def cobs_kmer_hashes_batch(
+    codes_list: list[np.ndarray], k: int, num_hashes: int = 1
+) -> list[np.ndarray]:
+    """cobs_kmer_hashes for a WHOLE read set in one native call (threaded;
+    per-read ctypes overhead dominated host hashing at 10k+ reads). Falls
+    back to the per-read path without the library."""
+    from phylign_tpu import native
+
+    nat = native.native_cobs_row_indices_batch(codes_list, k, 0, num_hashes)
+    if nat is not None:
+        return [a.view(np.uint64) for a in nat]
+    return [cobs_kmer_hashes(c, k, num_hashes) for c in codes_list]
+
+
 def rows_from_hashes(raw: np.ndarray, signature_size: int) -> np.ndarray:
     """Bloom row indices from cobs_kmer_hashes output: int64 [npos, H]."""
     return (raw % np.uint64(signature_size)).astype(np.int64)

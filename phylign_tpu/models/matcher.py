@@ -116,6 +116,55 @@ def _hash_topk(
     return _topk_scores(scores, cut, kk, d)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("s", "pad_row", "kk", "d", "cap")
+)
+def _hash_topk_flat(
+    words: jax.Array,
+    hi: jax.Array,
+    lo: jax.Array,
+    nk: jax.Array,
+    cut: jax.Array,
+    *,
+    s: int,
+    pad_row: int,
+    kk: int,
+    d: int,
+    cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """_hash_topk with the hit window COMPACTED on device: qualifying
+    (score u16 | doc u16) pairs pack into one flat u32 buffer of the
+    queries' take counts (take = min(n_keep, kk)), so the D2H fetch moves
+    only real hits instead of the dense [Q, kk] window — with the default
+    nb_best_hits and a typical few-hit query that is ~10x fewer bytes
+    through the relay. Returns ONE u32 array [cap hits | Q n_keep | total]
+    so the fetch is a single round trip; total > cap signals scatter
+    overflow (caller refetches the dense window)."""
+    rows = _rows_from_hashes_dev(hi, lo, s).astype(jnp.int32)
+    col = jnp.arange(hi.shape[1], dtype=jnp.int32)
+    rows = jnp.where(col[None, :, None] < nk[:, None, None], rows, pad_row)
+    scores = match_scores_xla(words, rows)
+    vals, idx, n_keep = _topk_scores(scores, cut, kk, d)
+    take = jnp.minimum(n_keep, kk)
+    off = jnp.cumsum(take) - take
+    colk = jnp.arange(kk, dtype=jnp.int32)
+    pos = off[:, None] + colk[None, :]
+    valid = colk[None, :] < take[:, None]
+    packed = (vals.astype(jnp.uint32) << jnp.uint32(16)) | idx.astype(
+        jnp.uint32
+    )
+    # ONE output array: [cap hit words | Q n_keep | 1 total] — a single
+    # device_get conversion (each separate fetched array costs a full relay
+    # round trip)
+    out = (
+        jnp.zeros((cap + hi.shape[0] + 1,), jnp.uint32)
+        .at[jnp.where(valid, pos, cap + hi.shape[0] + 1)]
+        .set(packed, mode="drop")
+    )
+    out = out.at[cap : cap + hi.shape[0]].set(n_keep.astype(jnp.uint32))
+    return out.at[cap + hi.shape[0]].set(take.sum().astype(jnp.uint32))
+
+
 @dataclass
 class DeviceQueryHashes:
     """One query chunk's raw k-mer hashes, resident on device.
@@ -130,6 +179,25 @@ class DeviceQueryHashes:
     lo: jax.Array  # uint32 [Q, K, H]
     n_kmers: np.ndarray  # int32 [Q] host
     raw: list[np.ndarray]  # per-query uint64 [n, H] host
+    # device-resident twins, uploaded once per chunk: nk is constant, and
+    # the integer cut vector depends only on (nk, threshold) — NOT on the
+    # batch — so neither needs a per-batch H2D round trip
+    _nk_dev: jax.Array | None = None
+    _cut_dev: dict | None = None
+
+    def nk_dev(self) -> jax.Array:
+        if self._nk_dev is None:
+            object.__setattr__(self, "_nk_dev", jax.device_put(self.n_kmers))
+        return self._nk_dev
+
+    def cut_dev(self, threshold: float) -> jax.Array:
+        if self._cut_dev is None:
+            object.__setattr__(self, "_cut_dev", {})
+        hit = self._cut_dev.get(threshold)
+        if hit is None:
+            hit = jax.device_put(_int_cut(threshold, self.n_kmers))
+            self._cut_dev[threshold] = hit
+        return hit
 
     @classmethod
     def build(
@@ -140,9 +208,17 @@ class DeviceQueryHashes:
         kp = round_up(int(nk.max(initial=1)), k_bucket)
         hi = np.zeros((len(raw), kp, h), np.uint32)
         lo = np.zeros((len(raw), kp, h), np.uint32)
-        for i, r in enumerate(raw):
-            hi[i, : r.shape[0]] = (r >> np.uint64(32)).astype(np.uint32)
-            lo[i, : r.shape[0]] = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if raw:
+            # one concatenate + one 2-D scatter (a python loop over tens of
+            # thousands of reads costs ~0.3 s per query set)
+            cat = np.concatenate(raw)
+            lens = nk.astype(np.int64)
+            rows = np.repeat(np.arange(len(raw)), lens)
+            cols = np.arange(len(cat)) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            hi[rows, cols] = (cat >> np.uint64(32)).astype(np.uint32)
+            lo[rows, cols] = (cat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi_d, lo_d = jax.device_put((hi, lo))  # one batched H2D round trip
         return cls(hi=hi_d, lo=lo_d, n_kmers=nk, raw=raw)
 
@@ -523,15 +599,45 @@ class Matcher:
             hits.append(
                 [(int(idx[q, j]), int(vals[q, j])) for j in range(take)]
             )
-        if redo:
-            scores, keep, _ = self.score_rows(
-                [rows_of(q) for q in redo], threshold, k_max
-            )
-            for row, q in enumerate(redo):
-                docs = np.nonzero(keep[row])[0]
-                hits[q] = [(int(dd), int(scores[row, dd])) for dd in docs]
-                hits[q].sort(key=lambda t: (-t[1], t[0]))
-                n_keep[q] = len(hits[q])  # keep header count == emitted set
+        self._redo_overflow(hits, n_keep, redo, rows_of, threshold, k_max)
+        return hits, n_keep.astype(np.int32)
+
+    def _redo_overflow(
+        self, hits, n_keep, redo, rows_of, threshold: float, k_max: int
+    ) -> None:
+        """Re-score window-overflow queries via the full-matrix path."""
+        if not redo:
+            return
+        scores, keep, _ = self.score_rows(
+            [rows_of(q) for q in redo], threshold, k_max
+        )
+        for row, q in enumerate(redo):
+            docs = np.nonzero(keep[row])[0]
+            hits[q] = [(int(dd), int(scores[row, dd])) for dd in docs]
+            hits[q].sort(key=lambda t: (-t[1], t[0]))
+            n_keep[q] = len(hits[q])  # keep header count == emitted set
+
+    def _window_hits_flat(
+        self, flat, n_keep, rows_of, threshold: float, k_max: int, kk: int
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """_window_hits over the device-compacted flat (score|doc) buffer
+        (_hash_topk_flat): same hit lists, ~kk/take fewer fetched bytes."""
+        n_keep = np.array(n_keep)
+        take = np.minimum(n_keep, kk)
+        offs = np.cumsum(take) - take
+        ids = (flat & np.uint32(0xFFFF)).tolist()
+        vals = (flat >> np.uint32(16)).tolist()
+        hits: list[list[tuple[int, int]]] = []
+        redo: list[int] = []
+        offs_l, take_l, nk_l = offs.tolist(), take.tolist(), n_keep.tolist()
+        for q in range(len(nk_l)):
+            if nk_l[q] > kk:
+                redo.append(q)
+                hits.append([])
+                continue
+            o, t = offs_l[q], take_l[q]
+            hits.append(list(zip(ids[o : o + t], vals[o : o + t])))
+        self._redo_overflow(hits, n_keep, redo, rows_of, threshold, k_max)
         return hits, n_keep.astype(np.int32)
 
     def score_hits_hashes(
@@ -561,14 +667,35 @@ class Matcher:
         from phylign_tpu.kmer import rows_from_hashes
 
         kk = min(d, round_up(min(topn + 33, d), 32))
-        cut = _int_cut(threshold, dq.n_kmers)
+        nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
+        rows_of = lambda q: rows_from_hashes(  # noqa: E731
+            dq.raw[q], self.signature_size
+        )
+        # flat-compacted fetch: cap sized for the common few-hit regime;
+        # scatter overflow (total > cap, e.g. every query carrying a full
+        # tie window) falls back to the dense window fetch
+        cap = len(dq.n_kmers) * min(kk, topn + 12)
+        out = jax.device_get(
+            _hash_topk_flat(
+                self.words, dq.hi, dq.lo, nk_d, cut_d,
+                s=self.signature_size,
+                pad_row=self.pad_row, kk=kk, d=d, cap=cap,
+            )
+        )
+        flat = out[:cap]
+        n_keep = out[cap : cap + len(dq.n_kmers)].astype(np.int32)
+        total = out[-1]
+        if int(total) <= cap:
+            return self._window_hits_flat(
+                flat, n_keep, rows_of, threshold, k_max, kk
+            )
         vals, idx, n_keep = jax.device_get(
             _hash_topk(
                 self.words,
                 dq.hi,
                 dq.lo,
-                jnp.asarray(dq.n_kmers),
-                jnp.asarray(cut),
+                nk_d,
+                cut_d,
                 s=self.signature_size,
                 pad_row=self.pad_row,
                 kk=kk,
@@ -579,7 +706,7 @@ class Matcher:
             vals,
             idx,
             n_keep,
-            lambda q: rows_from_hashes(dq.raw[q], self.signature_size),
+            rows_of,
             threshold,
             k_max,
             kk,

@@ -87,6 +87,18 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64),
     ]
 
+    lib.cobs_row_indices_batch.restype = None
+    lib.cobs_row_indices_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_uint64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
     lib.minimizers.restype = ctypes.c_int64
     lib.minimizers.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -199,6 +211,43 @@ def native_cobs_row_indices(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
     return out
+
+
+def native_cobs_row_indices_batch(
+    codes_list: list[np.ndarray], k: int, signature_size: int, num_hashes: int
+) -> list[np.ndarray] | None:
+    """Batched native row hashing: ONE library call for a whole read set.
+    Returns per-sequence int64 [n_pos_i, num_hashes] views into one shared
+    buffer, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(codes_list)
+    lens = np.fromiter((c.shape[0] for c in codes_list), np.int64, count=n)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    npos = np.maximum(0, lens - k + 1)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(npos, out=out_off[1:])
+    cat = (
+        np.ascontiguousarray(np.concatenate(codes_list), np.uint8)
+        if n
+        else np.zeros(1, np.uint8)
+    )
+    out = np.empty((int(out_off[-1]), num_hashes), np.int64)
+    if n and out.size:
+        lib.cobs_row_indices_batch(
+            _u8ptr(cat),
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            k,
+            signature_size,
+            num_hashes,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    oo = out_off.tolist()
+    return [out[oo[i] : oo[i + 1]] for i in range(n)]
 
 
 def native_minimizers(

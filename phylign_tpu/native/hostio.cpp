@@ -180,6 +180,24 @@ int64_t cobs_row_indices(const uint8_t* codes, int64_t len, int32_t k,
   return n_pos;
 }
 
+// Batched cobs_row_indices over CONCATENATED sequences: sequence i occupies
+// codes[off[i], off[i+1]); its rows land at out[out_off[i] * num_hashes]
+// (out_off = caller's exclusive scan of per-seq n_pos). Threaded over
+// sequences — the per-call ctypes overhead of hashing tens of thousands of
+// reads one at a time (~15 us each) dominated the match stage's host side.
+void cobs_row_indices_batch(const uint8_t* codes, const int64_t* off,
+                            const int64_t* out_off, int64_t n_seqs,
+                            int32_t k, uint64_t signature_size,
+                            int32_t num_hashes, int64_t* out) {
+  parallel_ranges(n_seqs, 256, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; i++) {
+      cobs_row_indices(codes + off[i], off[i + 1] - off[i], k,
+                       signature_size, num_hashes,
+                       out + out_off[i] * num_hashes);
+    }
+  });
+}
+
 // --------------------------------------------------------------- minimizers
 
 static inline uint64_t mm_hash64(uint64_t x, uint64_t mask) {

@@ -150,6 +150,28 @@ class _IndexCache:
             return True
 
 
+#: process-global device index cache: a TPU-native service keeps hot batch
+#: indexes RESIDENT in HBM across query workloads (the device-level analogue
+#: of the reference's keep_cobs_indexes decompressed-index cache,
+#: config.yaml:131-138) — a new Pipeline over the same batches skips the
+#: re-upload entirely. Content-hash keys make staleness impossible.
+_global_index_cache: "_IndexCache | None" = None
+
+
+def _shared_index_cache(cache_mb: int) -> "_IndexCache | None":
+    global _global_index_cache
+    if cache_mb <= 0:
+        return None
+    if _global_index_cache is None:
+        _global_index_cache = _IndexCache(cache_mb)
+    else:
+        # devices are shared process-wide: keep the largest requested budget
+        _global_index_cache.budget = max(
+            _global_index_cache.budget, cache_mb
+        )
+    return _global_index_cache
+
+
 def _warm_device_async() -> None:
     """Touch the device from a background thread at pipeline start: the first
     real device interaction pays a large, variable backend-claim latency
@@ -202,7 +224,7 @@ class Pipeline:
         self._index_cache = None
         if cache_mb > 0:
             self.sched.hbm.acquire(cache_mb)  # carve the budget out once
-            self._index_cache = _IndexCache(cache_mb)
+            self._index_cache = _shared_index_cache(cache_mb)
         # capacity left for transient (non-cached) index uploads; indexes
         # that cannot fit here with align headroom stream row-chunked
         self._hbm_transient_mb = int(config.device_hbm_gb * 1024) - cache_mb
@@ -305,14 +327,15 @@ class Pipeline:
             hit = self._query_cache.get(key)
         if hit is not None:
             return hit
-        from phylign_tpu.kmer import cobs_kmer_hashes, encode_seq
+        from phylign_tpu.kmer import cobs_kmer_hashes_batch, encode_seq
         from phylign_tpu.models.matcher import _dedup_row_sets
 
         records = list(read_fastx_file(src))
-        raw = [
-            cobs_kmer_hashes(encode_seq(r.seq.encode()), term_size, num_hashes)
-            for r in records
-        ]
+        raw = cobs_kmer_hashes_batch(
+            [encode_seq(r.seq.encode()) for r in records],
+            term_size,
+            num_hashes,
+        )
         rep_of, uraw = _dedup_row_sets(raw)
         qs = QuerySet(records, np.asarray(rep_of, np.int64), uraw)
         with self._query_cache_lock:
@@ -727,6 +750,7 @@ class Pipeline:
                     device_lock=self.sched.flush_slot(),
                     pair_chunk=self.cfg.device_pair_chunk,
                     sketch_cache=sketches,
+                    asm_cache_dir=self._asm_cache_dir(),
                 )
             )
             tmp, commit = atomic_write_via(out)
@@ -734,6 +758,19 @@ class Pipeline:
             commit()
         self.manifest.mark("map", f"{batch}____{stem}", [str(out)])
         return out
+
+    def _asm_cache_dir(self) -> str | None:
+        if not self.cfg.asm_cache:
+            return None
+        # prefer the persistent decompression dir (the reference's cache
+        # location for decompressed artifacts, config.yaml:131-138) so the
+        # decode pass survives `intermediate/` cleanup between runs
+        if self.cfg.decompression_dir:
+            d = self.root / self.cfg.decompression_dir / "asms"
+        else:
+            d = self.inter / "02_asms_decoded"
+        d.mkdir(parents=True, exist_ok=True)
+        return str(d)
 
     def batch_accessions(self, batch: str) -> set[str] | None:
         """The batch's accession allow-list from data/661k_batches.txt.xz-style
@@ -793,6 +830,7 @@ class Pipeline:
                     pair_chunk=self.cfg.device_pair_chunk,
                     sketch_cache=sketches,
                     producers=producers,
+                    asm_cache_dir=self._asm_cache_dir(),
                 ):
                     # per-batch rows keep the reference's log-file contract
                     # (logs/benchmarks/batch_align/...); in pooled mode they
