@@ -159,6 +159,24 @@ class QuerySketch:
         mh, mp, mstr = opm.minimizers(codes, params.k, params.w, hpc=params.hpc)
         return cls(name, seq, codes, revcomp_codes(codes), mh, mp, mstr)
 
+    @classmethod
+    def make_batch(
+        cls, items: Sequence[tuple[str, str]], params: AlignParams
+    ) -> list["QuerySketch"]:
+        """Sketch a whole read set with ONE threaded native minimizer call
+        (ops.minimizer.minimizers_batch) — per-read make() costs ~1 ms in
+        python/ctypes overhead, first-order at 10k+ filtered queries."""
+        codes_list = [encode_seq(seq.encode()) for _, seq in items]
+        sketches = opm.minimizers_batch(
+            codes_list, params.k, params.w, hpc=params.hpc
+        )
+        return [
+            cls(name, seq, codes, revcomp_codes(codes), mh, mp, mstr)
+            for (name, seq), codes, (mh, mp, mstr) in zip(
+                items, codes_list, sketches
+            )
+        ]
+
     def rc_seq(self) -> str:
         """Reverse-complement SEQ text, decoded once per sketch (a sketch is
         reused across every genome it pairs with)."""

@@ -374,6 +374,10 @@ class DeviceIndex:
     signature_size: int
     doc_names: list[str]
     words: np.ndarray  # uint32 [signature_size, ceil(num_docs/32)]
+    #: (path, mtime_ns, size) of the on-disk device-format source, set by
+    #: load_device_index — lets the pipeline memoize the content hash
+    #: instead of re-hashing the word matrix every run
+    source_sig: tuple | None = None
 
     @property
     def num_docs(self) -> int:
@@ -417,13 +421,16 @@ def save_device_index(dirpath: str | os.PathLike, didx: DeviceIndex) -> None:
 def load_device_index(dirpath: str | os.PathLike, mmap: bool = True) -> DeviceIndex:
     d = Path(dirpath)
     meta = json.loads((d / "meta.json").read_text())
-    words = np.load(d / "words.npy", mmap_mode="r" if mmap else None)
+    wp = d / "words.npy"
+    words = np.load(wp, mmap_mode="r" if mmap else None)
+    st = wp.stat()
     return DeviceIndex(
         term_size=meta["term_size"],
         num_hashes=meta["num_hashes"],
         signature_size=meta["signature_size"],
         doc_names=meta["doc_names"],
         words=words,
+        source_sig=(str(wp), st.st_mtime_ns, st.st_size),
     )
 
 

@@ -99,6 +99,20 @@ def get_lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64),
     ]
 
+    lib.minimizers_batch.restype = None
+    lib.minimizers_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
     lib.minimizers.restype = ctypes.c_int64
     lib.minimizers.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -273,6 +287,56 @@ def native_minimizers(
             _u8ptr(strand),
         )
     return hashes[:cnt], pos[:cnt], strand[:cnt]
+
+
+def native_minimizers_batch(
+    codes_list: list[np.ndarray], k: int, w: int
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]] | None:
+    """Batched native minimizer sketching: ONE threaded library call for a
+    whole read set. Returns per-sequence (hashes, positions, strands)
+    views, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(codes_list)
+    lens = np.fromiter((c.shape[0] for c in codes_list), np.int64, count=n)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    npos = np.maximum(0, lens - k + 1)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(npos, out=out_off[1:])
+    tot = int(out_off[-1])
+    cat = (
+        np.ascontiguousarray(np.concatenate(codes_list), np.uint8)
+        if n
+        else np.zeros(1, np.uint8)
+    )
+    hashes = np.empty(max(1, tot), np.uint64)
+    pos = np.empty(max(1, tot), np.int32)
+    strand = np.empty(max(1, tot), np.uint8)
+    counts = np.zeros(n, np.int64)
+    if n and tot:
+        lib.minimizers_batch(
+            _u8ptr(cat),
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            k,
+            w,
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8ptr(strand),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    oo, cc = out_off.tolist(), counts.tolist()
+    return [
+        (
+            hashes[oo[i] : oo[i] + cc[i]],
+            pos[oo[i] : oo[i] + cc[i]],
+            strand[oo[i] : oo[i] + cc[i]],
+        )
+        for i in range(n)
+    ]
 
 
 def native_xxh64(data: bytes, seed: int = 0) -> int | None:

@@ -180,6 +180,28 @@ int64_t cobs_row_indices(const uint8_t* codes, int64_t len, int32_t k,
   return n_pos;
 }
 
+int64_t minimizers(const uint8_t* codes, int64_t len, int32_t k, int32_t w,
+                   uint64_t* out_hash, int32_t* out_pos, uint8_t* out_strand);
+
+// Batched minimizer sketching over CONCATENATED sequences (one threaded
+// call per read set; the per-read ctypes overhead dominated align-stage
+// sketching). Sequence i's minimizers land at out_*[out_off[i]] (out_off =
+// exclusive scan of the per-seq n_pos bound); counts[i] receives the real
+// minimizer count.
+void minimizers_batch(const uint8_t* codes, const int64_t* off,
+                      int64_t n_seqs, int32_t k, int32_t w,
+                      uint64_t* out_hash, int32_t* out_pos,
+                      uint8_t* out_strand, const int64_t* out_off,
+                      int64_t* counts) {
+  parallel_ranges(n_seqs, 64, [&](int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; i++) {
+      counts[i] = minimizers(codes + off[i], off[i + 1] - off[i], k, w,
+                             out_hash + out_off[i], out_pos + out_off[i],
+                             out_strand + out_off[i]);
+    }
+  });
+}
+
 // Batched cobs_row_indices over CONCATENATED sequences: sequence i occupies
 // codes[off[i], off[i+1]); its rows land at out[out_off[i] * num_hashes]
 // (out_off = caller's exclusive scan of per-seq n_pos). Threaded over

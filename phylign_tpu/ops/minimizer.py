@@ -96,6 +96,31 @@ def minimizers(
     nat = native.native_minimizers(codes, k, w)
     if nat is not None:
         return nat
+    return _minimizers_numpy(codes, k, w)
+
+
+def minimizers_batch(
+    codes_list: list[np.ndarray],
+    k: int = KMER_SR,
+    w: int = WINDOW_SR,
+    hpc: bool = False,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """``minimizers`` for a whole read set in ONE threaded native call
+    (per-read ctypes overhead dominated align-stage sketching at 10k+
+    reads). hpc presets and the no-library case fall back per-read."""
+    from phylign_tpu import native
+
+    if not hpc:
+        nat = native.native_minimizers_batch(codes_list, k, w)
+        if nat is not None:
+            return nat
+    return [minimizers(c, k, w, hpc=hpc) for c in codes_list]
+
+
+def _minimizers_numpy(
+    codes: np.ndarray, k: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Portable numpy minimizer sketch (fallback + test oracle)."""
     fwd, rc = packed_kmers(codes, k)
     n = fwd.shape[0]
     if n == 0:

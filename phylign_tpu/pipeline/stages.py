@@ -23,6 +23,7 @@ device lock. Every unit is benchmark-logged and manifest-checkpointed.
 from __future__ import annotations
 
 import logging
+import os
 from pathlib import Path
 from typing import Sequence
 
@@ -540,19 +541,32 @@ class Pipeline:
             self.sched.hbm.release(budget_mb)
         return self._broadcast_matches(didx, qs, hits_u, [int(x) for x in nk_u])
 
+    #: (filename, mtime_ns, size) -> content hash; avoids re-hashing a
+    #: memmapped on-disk device index's words every run (ms per batch that
+    #: adds up over hundreds of batches)
+    _index_hash_memo: dict = {}
+
     @staticmethod
     def _index_hash(didx: cobs_io.DeviceIndex) -> str:
         """Content hash of a device index (blake2b over the packed word
         matrix + geometry) — the index-cache key."""
         import hashlib
 
+        memo_key = getattr(didx, "source_sig", None)
+        if memo_key is not None:
+            hit = Pipeline._index_hash_memo.get(memo_key)
+            if hit is not None:
+                return hit
         hb = hashlib.blake2b(digest_size=16)
         hb.update(
             f"{didx.signature_size}:{didx.num_docs}:"
             f"{didx.term_size}:{didx.num_hashes}".encode()
         )
         hb.update(memoryview(np.ascontiguousarray(didx.words)))
-        return hb.hexdigest()
+        digest = hb.hexdigest()
+        if memo_key is not None:
+            Pipeline._index_hash_memo[memo_key] = digest
+        return digest
 
     def match(self, stem: str, batches: list[str] | None = None) -> list[Path]:
         batches = batches if batches is not None else self.batches()
@@ -721,7 +735,26 @@ class Pipeline:
         if hit is not None:
             return hit
         queries = read_filtered_fasta(read_fastx_file(src))
-        val = (queries, {})
+        # pre-sketch every query with candidates in ONE threaded native
+        # minimizer pass (align producers otherwise sketch lazily, one
+        # ctypes call per read — measured first-order at 10k+ reads)
+        from phylign_tpu.align.engine import AlignParams, QuerySketch
+
+        params = AlignParams.from_preset(
+            self.cfg.minimap_preset, self.cfg.minimap_extra_params
+        )
+        with_cands = [
+            (qi, q) for qi, q in enumerate(queries) if q.candidates
+        ]
+        sketches = dict(
+            zip(
+                (qi for qi, _ in with_cands),
+                QuerySketch.make_batch(
+                    [(q.qname, q.seq) for _, q in with_cands], params
+                ),
+            )
+        )
+        val = (queries, sketches)
         with self._query_cache_lock:
             # one read set live at a time per cache family
             for k in [k for k in self._query_cache if k[0] == "filtered"]:
