@@ -627,16 +627,20 @@ class Matcher:
         offs = np.cumsum(take) - take
         ids = (flat & np.uint32(0xFFFF)).tolist()
         vals = (flat >> np.uint32(16)).tolist()
-        hits: list[list[tuple[int, int]]] = []
+        # per-batch most queries have NO hits (a read's hits concentrate in
+        # its own batch): share one empty list and touch only hit rows.
+        # No consumer mutates a hit list in place (_broadcast_matches and
+        # the postprocess top-n both build fresh lists).
+        empty: list[tuple[int, int]] = []
+        hits: list[list[tuple[int, int]]] = [empty] * len(n_keep)
         redo: list[int] = []
-        offs_l, take_l, nk_l = offs.tolist(), take.tolist(), n_keep.tolist()
-        for q in range(len(nk_l)):
-            if nk_l[q] > kk:
+        offs_l, take_l = offs.tolist(), take.tolist()
+        for q in np.flatnonzero(n_keep).tolist():
+            if n_keep[q] > kk:
                 redo.append(q)
-                hits.append([])
                 continue
             o, t = offs_l[q], take_l[q]
-            hits.append(list(zip(ids[o : o + t], vals[o : o + t])))
+            hits[q] = list(zip(ids[o : o + t], vals[o : o + t]))
         self._redo_overflow(hits, n_keep, redo, rows_of, threshold, k_max)
         return hits, n_keep.astype(np.int32)
 
@@ -928,8 +932,9 @@ def _dedup_row_sets(
     rep_of: list[int] = []
     unique: list[np.ndarray] = []
     for r in rows:
-        if r.ndim == 1:
-            canon = np.sort(r, kind="stable")
+        if r.ndim == 1 or r.shape[-1] == 1:
+            # 1 hash (the 661k DB): plain value sort, no lexsort machinery
+            canon = np.sort(r.reshape(-1), kind="stable")
         else:  # [n, H]: lexicographic row sort
             canon = r[np.lexsort(r.T[::-1])] if r.shape[0] else r
         key = (r.shape[0], canon.tobytes())
