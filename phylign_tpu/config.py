@@ -67,7 +67,11 @@ class Config:
     # round trips (30-80 ms each through a slow host link), so bigger chunks
     # amortize them; the [Q, 32*Wp] transient score matrix bounds it above
     # (8192 x 2176 x 4 B = 71 MB at the largest real batch width).
-    device_query_chunk: int = 8192
+    # "auto" sizes the chunk per batch so the transient [Q, 32*Wp] int32
+    # score matrix stays under ~256 MB (=> 8192 queries at the largest real
+    # 661k batch width, 32k+ at typical widths — fewer fixed-cost
+    # dispatch/fetch round trips per batch); an integer pins it.
+    device_query_chunk: int | str = "auto"
     # decoded-genome disk cache for assembly tars: one sequential tar.xz
     # pass per batch writes 2-bit-coded contigs to
     # intermediate/02_asms_decoded/, and later align runs mmap ONLY the

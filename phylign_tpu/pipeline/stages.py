@@ -466,6 +466,10 @@ class Pipeline:
                 matcher = Matcher.from_device_index(didx, mesh=mesh)
             matcher.dedup = self.cfg.match_dedup
             chunk = self.cfg.device_query_chunk
+            if not isinstance(chunk, int):  # "auto": bound the transient
+                # [Q, 32*Wp] int32 score matrix at ~256 MB per call
+                wp = max(1, int(didx.words.shape[1]))
+                chunk = max(1024, min(32768, (256 << 20) // (wp * 128)))
             hits_u: list[list[tuple[int, int]]] = []
             nk_u: list[int] = []
             use_hashes = (
