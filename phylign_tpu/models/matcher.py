@@ -644,6 +644,68 @@ class Matcher:
         self._redo_overflow(hits, n_keep, redo, rows_of, threshold, k_max)
         return hits, n_keep.astype(np.int32)
 
+    def score_hits_hashes_begin(self, dq, threshold: float, topn: int, k_max: int = 512):
+        """Async half of score_hits_hashes: DISPATCH the device program and
+        return an opaque ctx (or None when this path does not apply —
+        caller falls back to the synchronous score_hits_hashes). Lets the
+        pipeline dispatch under the device lock and fetch/assemble outside
+        it, so the next batch's program queues while this one's results
+        cross the link."""
+        d = len(self.doc_names)
+        if (
+            self.mesh is not None
+            or self.use_pallas
+            or self.dedup
+            or d == 0
+            or d > 65535
+            or dq.hi.shape[1] > k_max
+            or dq.hi.shape[2] != self.num_hashes
+            or self.signature_size >= 1 << 31
+        ):
+            return None
+        kk = min(d, round_up(min(topn + 33, d), 32))
+        nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
+        cap = len(dq.n_kmers) * min(kk, topn + 12)
+        out_dev = _hash_topk_flat(
+            self.words, dq.hi, dq.lo, nk_d, cut_d, s=self.signature_size,
+            pad_row=self.pad_row, kk=kk, d=d, cap=cap,
+        )
+        try:
+            out_dev.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - backend-dependent
+            pass
+        return (dq, out_dev, threshold, topn, k_max, kk, cap)
+
+    def score_hits_hashes_end(
+        self, ctx
+    ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
+        """Fetch + assemble a score_hits_hashes_begin dispatch."""
+        from phylign_tpu.kmer import rows_from_hashes
+
+        dq, out_dev, threshold, topn, k_max, kk, cap = ctx
+        d = len(self.doc_names)
+        rows_of = lambda q: rows_from_hashes(  # noqa: E731
+            dq.raw[q], self.signature_size
+        )
+        out = jax.device_get(out_dev)
+        flat = out[:cap]
+        n_keep = out[cap : cap + len(dq.n_kmers)].astype(np.int32)
+        total = out[-1]
+        if int(total) <= cap:
+            return self._window_hits_flat(
+                flat, n_keep, rows_of, threshold, k_max, kk
+            )
+        nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
+        vals, idx, n_keep = jax.device_get(
+            _hash_topk(
+                self.words, dq.hi, dq.lo, nk_d, cut_d,
+                s=self.signature_size, pad_row=self.pad_row, kk=kk, d=d,
+            )
+        )
+        return self._window_hits(
+            vals, idx, n_keep, rows_of, threshold, k_max, kk
+        )
+
     def score_hits_hashes(
         self,
         dq: DeviceQueryHashes,

@@ -477,24 +477,50 @@ class Pipeline:
                 and not matcher.dedup
                 and didx.num_docs <= 65535
             )
+            # dispatch under the device lock, fetch + assemble OUTSIDE it:
+            # the next batch's program queues while this one's results
+            # cross the link (each fetch costs a full relay round trip).
+            # slots keep chunk order even if some chunks fall back to the
+            # synchronous paths.
+            thr, topn = self.cfg.cobs_kmer_thres, self.cfg.nb_best_hits
+            slots: list = []
             with self.sched.device_lock:
                 for off in range(0, len(qs.uraw), chunk):
                     # device-side threshold + top-k window: only the
                     # qualifying hits cross the relay, not [Q, D] scores
                     if use_hashes:
-                        hl, nk = matcher.score_hits_hashes(
-                            qs.device_chunk(off, chunk),
-                            self.cfg.cobs_kmer_thres,
-                            self.cfg.nb_best_hits,
+                        dqc = qs.device_chunk(off, chunk)
+                        ctx = matcher.score_hits_hashes_begin(
+                            dqc, thr, topn
                         )
+                        if ctx is not None:
+                            slots.append(("pending", ctx))
+                        else:
+                            slots.append(
+                                (
+                                    "done",
+                                    matcher.score_hits_hashes(
+                                        dqc, thr, topn
+                                    ),
+                                )
+                            )
                     else:
-                        hl, nk = matcher.score_hits_raw(
-                            qs.uraw[off : off + chunk],
-                            self.cfg.cobs_kmer_thres,
-                            self.cfg.nb_best_hits,
+                        slots.append(
+                            (
+                                "done",
+                                matcher.score_hits_raw(
+                                    qs.uraw[off : off + chunk], thr, topn
+                                ),
+                            )
                         )
-                    hits_u.extend(hl)
-                    nk_u.extend(int(x) for x in nk)
+            for kind, payload in slots:
+                hl, nk = (
+                    matcher.score_hits_hashes_end(payload)
+                    if kind == "pending"
+                    else payload
+                )
+                hits_u.extend(hl)
+                nk_u.extend(int(x) for x in nk)
         finally:
             if transient:
                 if key is not None and self._index_cache.put(key, matcher, hbm_mb):
