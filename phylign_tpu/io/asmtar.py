@@ -108,7 +108,10 @@ def open_asm_cache(
     order: list[str] = []
     genomes: list[tuple[str, list]] = []
     off = 0
-    tmp_bin = bin_p.with_suffix(".codes.tmp")
+    # pid-unique tmp names: concurrent processes (multi-rank runs) may race
+    # to build the same batch's cache; each builds privately and the atomic
+    # renames make last-writer-wins safe
+    tmp_bin = bin_p.with_suffix(f".codes.tmp{os.getpid()}")
     with open(tmp_bin, "wb") as out:
         for rname, contigs in iter_batch_assemblies(tar_path):
             order.append(rname)
@@ -118,7 +121,7 @@ def open_asm_cache(
                 table.append((cname, off, int(codes.shape[0])))
                 off += int(codes.shape[0])
             genomes.append((rname, table))
-    tmp_meta = meta_p.with_suffix(".json.tmp")
+    tmp_meta = meta_p.with_suffix(f".json.tmp{os.getpid()}")
     tmp_meta.write_text(
         json.dumps({"tar_sig": sig, "order": order, "genomes": genomes})
     )
