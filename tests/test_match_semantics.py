@@ -175,3 +175,51 @@ class TestScoreHits:
         read = rng.choice(alpha, 150).tobytes()
         m = self._mk(96, planted=(read, 96))
         self._assert_same(m, [read], 0.7, topn=1)
+
+
+class TestAsyncHashScoring:
+    """score_hits_hashes_begin/end (dispatch under lock, fetch outside —
+    pipeline.stages._score_batch's production path) must be bit-identical
+    to the synchronous score_hits_hashes, including interleaved dispatches
+    against different batch indexes."""
+
+    def _mk(self, n_docs, seed, planted=None):
+        from phylign_tpu.io import cobs
+        from phylign_tpu.models.matcher import Matcher
+
+        rng = np.random.default_rng(seed)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        docs = []
+        for i in range(n_docs):
+            seq = rng.choice(alpha, 400).tobytes()
+            if planted is not None and i < planted[1]:
+                seq = planted[0] + seq
+            docs.append((f"d{i:03d}", [seq]))
+        idx = cobs.build_classic_index(docs, term_size=31, fpr=0.01)
+        return Matcher.from_device_index(cobs.to_device_index(idx))
+
+    def test_begin_end_matches_sync_across_batches(self):
+        from phylign_tpu.kmer import cobs_kmer_hashes_batch, encode_seq
+        from phylign_tpu.models.matcher import DeviceQueryHashes
+
+        rng = np.random.default_rng(21)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        read = rng.choice(alpha, 150).tobytes()
+        m1 = self._mk(40, seed=3, planted=(read, 6))
+        m2 = self._mk(56, seed=4, planted=(read, 2))
+        seqs = [read] + [rng.choice(alpha, 150).tobytes() for _ in range(5)]
+        raw = cobs_kmer_hashes_batch(
+            [encode_seq(s) for s in seqs], m1.term_size, m1.num_hashes
+        )
+        dq = DeviceQueryHashes.build(raw)
+        # interleave: dispatch both batches first, then fetch both
+        c1 = m1.score_hits_hashes_begin(dq, 0.7, 3)
+        c2 = m2.score_hits_hashes_begin(dq, 0.7, 3)
+        assert c1 is not None and c2 is not None
+        h1, n1 = m1.score_hits_hashes_end(c1)
+        h2, n2 = m2.score_hits_hashes_end(c2)
+        s1, sn1 = m1.score_hits_hashes(dq, 0.7, 3)
+        s2, sn2 = m2.score_hits_hashes(dq, 0.7, 3)
+        assert h1 == s1 and h2 == s2
+        assert np.array_equal(n1, sn1) and np.array_equal(n2, sn2)
+        assert any(h1[0]) and any(h2[0])  # the planted read actually hit
