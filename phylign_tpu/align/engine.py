@@ -1458,32 +1458,29 @@ def _fused_dispatch(
     clen = np.zeros(nc, np.int32)
     clen[: len(clen_l)] = clen_l
 
-    # --- queries: both strands 2-bit packed, one scatter fill ---------------
+    # --- queries: FORWARD strand 2-bit packed, one scatter fill (the
+    # reverse complement is recomputed on device — half the H2D bytes) ----
     lmax = _round_up(
         max(32, max((len(tasks[ti].sketch.codes) for ti in tis), default=32)),
         32,
     )
     q_len = np.zeros(p, np.int32)
-    qc = np.zeros((p, 2, lmax), np.uint8)
-    parts = []
-    for ti in tis:
-        sk = tasks[ti].sketch
-        parts.append(sk.codes)
-        parts.append(sk.rc_codes)
-    q_len[:n] = [len(parts[2 * i]) for i in range(n)]
+    qc = np.zeros((p, lmax), np.uint8)
+    parts = [tasks[ti].sketch.codes for ti in tis]
+    q_len[:n] = [len(c) for c in parts]
     if parts:
         flat = np.concatenate(parts)
         if np.all(q_len[:n] == q_len[0]):
             # uniform read length (the sr norm): plain reshape, no scatter
-            qc[:n, :, : int(q_len[0])] = flat.reshape(n, 2, int(q_len[0]))
+            qc[:n, : int(q_len[0])] = flat.reshape(n, int(q_len[0]))
         else:
-            lens = np.repeat(q_len[:n], 2)
-            rows2 = np.repeat(np.arange(2 * n), lens)
+            lens = q_len[:n]
+            rows2 = np.repeat(np.arange(n), lens)
             cols2 = np.arange(int(lens.sum())) - np.repeat(
                 np.cumsum(lens) - lens, lens
             )
-            qc.reshape(p * 2, lmax)[rows2, cols2] = flat
-    q_pack2 = ope.pack2bit(qc.reshape(p * 2, lmax)).reshape(p, 2, -1)
+            qc[rows2, cols2] = flat
+    q_pack = ope.pack2bit(qc)
 
     wlen = lmax + params.band
     kw = dict(
@@ -1491,7 +1488,7 @@ def _fused_dispatch(
         min_cnt=params.min_chain_cnt, min_score=params.min_chain_score,
         max_segments=params.max_segments, zdrop=params.zdrop,
     )
-    host_in = (cand_map, pair_base, pair_reflen, q_pack2, q_len,
+    host_in = (cand_map, pair_base, pair_reflen, q_pack, q_len,
                pool_pack, cst, clen)
     dev_in = jax.device_put(host_in)  # one batched H2D round trip
     if mesh is not None:

@@ -106,7 +106,7 @@ def _select_extend_core(
     cand_map: jax.Array,  # int32 [P, 2] flat set idx (plus, minus); S_tot=none
     pair_base: jax.Array,  # int32 [P] pool base offset of the pair's ref
     pair_reflen: jax.Array,  # int32 [P] len(ref.codes)
-    q_pack2: jax.Array,  # uint8 [P, 2, ceil(lmax/4)] fwd/rc packed queries
+    q_pack: jax.Array,  # uint8 [P, ceil(lmax/4)] FORWARD packed queries
     q_len: jax.Array,  # int32 [P]
     pool_pack: jax.Array,  # uint8 [ceil(pool_len/4)] 2-bit pool codes
     cst: jax.Array,  # int32 [C] pool-coord contig starts (sorted, pad=MAX)
@@ -257,10 +257,18 @@ def _select_extend_core(
     hi = jnp.clip(c_end - w0, 0, wlen)
     win_idx = w0[:, None] + jnp.arange(wlen, dtype=jnp.int32)[None, :]
     rwin = _gather_codes(pool_pack, win_idx)  # [P, wlen] uint8
-    q_sel = jnp.where(
-        (prim_strand == 1)[:, None], q_pack2[:, 1], q_pack2[:, 0]
+    # reverse complement computed ON DEVICE from the forward codes
+    # (halves the query H2D; rcv's zero padding makes the bytes identical
+    # to the former host-built rc upload)
+    fwd_q = ope._unpack2bit(q_pack, lmax)
+    col_q = jnp.arange(lmax, dtype=jnp.int32)[None, :]
+    ridx = jnp.clip(q_len[:, None] - 1 - col_q, 0, lmax - 1)
+    rcv = jnp.where(
+        col_q < q_len[:, None],
+        (3 - jnp.take_along_axis(fwd_q, ridx, axis=1)).astype(jnp.uint8),
+        jnp.uint8(0),
     )
-    q_codes = ope._unpack2bit(q_sel, lmax)
+    q_codes = jnp.where((prim_strand == 1)[:, None], rcv, fwd_q)
     ext_res = _extend_impl(
         q_codes, q_len, rwin, _window_mask(lo, hi, wlen), scoring, False
     )
@@ -377,7 +385,7 @@ def select_extend(
     cand_map,
     pair_base,
     pair_reflen,
-    q_pack2,
+    q_pack,
     q_len,
     pool_pack,
     cst,
@@ -405,7 +413,7 @@ def select_extend(
     (engine._fused_finish unpacks by fixed offsets)."""
     hot, flts, neq_pack, cold = _select_extend_core(
         _flatten_chains(chains),
-        cand_map, pair_base, pair_reflen, q_pack2, q_len, pool_pack,
+        cand_map, pair_base, pair_reflen, q_pack, q_len, pool_pack,
         cst, clen,
         lmax=lmax, wlen=wlen, half=half, scoring=scoring,
         min_cnt=min_cnt, min_score=min_score, max_segments=max_segments,
@@ -426,7 +434,7 @@ def dist_select_extend(
     cand_map,
     pair_base,
     pair_reflen,
-    q_pack2,
+    q_pack,
     q_len,
     pool_pack,
     cst,
@@ -480,7 +488,7 @@ def dist_select_extend(
             P(AXIS_QUERY, None),  # cand_map
             P(AXIS_QUERY),  # pair_base
             P(AXIS_QUERY),  # pair_reflen
-            P(AXIS_QUERY, None, None),  # q_pack2
+            P(AXIS_QUERY, None),  # q_pack
             P(AXIS_QUERY),  # q_len
             P(None),  # pool_pack (replicated)
             P(None),  # cst
@@ -492,5 +500,5 @@ def dist_select_extend(
             P(AXIS_QUERY, None),
             (P(AXIS_QUERY, None), P(AXIS_QUERY, None)),
         ),
-    )(tuple(chains), cand_map, pair_base, pair_reflen, q_pack2, q_len,
+    )(tuple(chains), cand_map, pair_base, pair_reflen, q_pack, q_len,
       pool_pack, cst, clen)
