@@ -36,6 +36,86 @@ from phylign_tpu.ops import extend as ope
 from phylign_tpu.ops import minimizer as opm
 
 
+def _parse_extra_params(extra: str) -> dict:
+    """Parse the ``minimap_extra_params`` string into AlignParams overrides.
+
+    The reference forwards these tokens verbatim to the minimap2 CLI
+    (ref: /root/reference/config.yaml:36-38, scripts/batch_align.py:268-270);
+    this build maps the common flags onto engine knobs and rejects the rest
+    loudly. Supported: -k -w -r[,long] -z[,inv] -g -A -B -O[,2] -E[,2]
+    -n -m -N --secondary=no --eqx. Both attached (-N10) and detached
+    (-N 10) value forms parse, as minimap2's getopt does."""
+    toks = extra.split()
+    over: dict = {}
+    # flag -> (field(s), n-values-used). Comma forms map to the dual-affine
+    # pair the way minimap2's main.c does (single value sets both).
+    flag_map = {
+        "-k": ("k",),
+        "-w": ("w",),
+        "-g": ("max_gap",),
+        "-r": ("bandwidth", None),  # second value (bw_long) ignored: no
+        # long-join rescue pass in this engine
+        "-z": ("zdrop", None),  # second value (inversion z-drop) ignored:
+        # no inversion detection (mm2 -z INT2 only matters with --inv)
+        "-A": ("match",),
+        "-B": ("mismatch",),
+        "-O": ("gap_open1", "gap_open2"),
+        "-E": ("gap_ext1", "gap_ext2"),
+        "-n": ("min_chain_cnt",),
+        "-m": ("min_chain_score",),
+        "-N": ("n_secondary",),
+    }
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        i += 1
+        if tok == "--eqx":
+            continue  # the engine's only output mode already
+        if tok.startswith("--secondary"):
+            val = tok.split("=", 1)[1] if "=" in tok else None
+            if val is None and i < len(toks):
+                val, i = toks[i], i + 1
+            if val == "no":
+                continue  # engine default (the sr preset's setting)
+            raise ValueError(
+                "minimap_extra_params: --secondary=yes is unsupported — "
+                "this engine emits the reference output contract's record "
+                "set (primary + supplementary only; the golden summary has "
+                "no 256-flag records)"
+            )
+        flag, attached = tok[:2], tok[2:]
+        if flag not in flag_map:
+            raise ValueError(
+                f"unsupported minimap_extra_params token {tok!r} "
+                f"(supported: {' '.join(sorted(flag_map))} "
+                "--secondary=no --eqx)"
+            )
+        if attached:
+            val = attached
+        elif i < len(toks):
+            val, i = toks[i], i + 1
+        else:
+            raise ValueError(f"minimap_extra_params: {flag} needs a value")
+        parts = val.split(",")
+        fields = flag_map[flag]
+        try:
+            nums = [float(p) for p in parts]
+        except ValueError:
+            raise ValueError(
+                f"minimap_extra_params: bad value {val!r} for {flag}"
+            ) from None
+        if len(parts) > len(fields):
+            raise ValueError(
+                f"minimap_extra_params: too many values in {flag}{val}"
+            )
+        for j, f in enumerate(fields):
+            if f is None:
+                continue
+            v = nums[min(j, len(nums) - 1)]  # single value fills the pair
+            over[f] = v if f == "min_chain_score" else int(v)
+    return over
+
+
 @dataclass(frozen=True)
 class AlignParams:
     """minimap2 preset knobs this engine honors
@@ -75,6 +155,12 @@ class AlignParams:
     zdrop: int = 100
     end_bonus: int = 10
     max_segments: int = 3  # split-read cap: primary + (max_segments-1) supps
+    # -N / --secondary: how many secondary alignments minimap2 would PRINT
+    # (mm2 best_n, default 5; sr preset sets --secondary=no so none print).
+    # This engine emits the reference contract's record set (primary +
+    # supplementary only, golden flags 0/16/4/2048) — the knob is accepted
+    # for config compatibility and validated, but cannot add records.
+    n_secondary: int = 5
 
     def occ_cap(self, ref: "opm.RefIndex") -> int:
         """Effective occurrence cap against one genome."""
@@ -103,24 +189,40 @@ class AlignParams:
             raise ValueError(
                 f"unsupported minimap preset {preset!r}; supported: {sorted(table)}"
             )
-        for tok in extra_params.split():
-            if tok != "--eqx":
-                raise ValueError(
-                    f"unsupported minimap_extra_params token {tok!r} "
-                    "(only --eqx, which is always on)"
-                )
+        over = _parse_extra_params(extra_params)
         k, w, gap, m, x, o1, e1, o2, e2, cnt, chain = table[preset]
+        k = over.pop("k", k)
+        w = over.pop("w", w)
+        gap = over.pop("max_gap", gap)
+        m = over.pop("match", m)
+        x = over.pop("mismatch", x)
+        o1 = over.pop("gap_open1", o1)
+        e1 = over.pop("gap_ext1", e1)
+        o2 = over.pop("gap_open2", o2)
+        e2 = over.pop("gap_ext2", e2)
+        cnt = over.pop("min_chain_cnt", cnt)
+        chain = over.pop("min_chain_score", chain)
+        bw = over.pop("bandwidth", None)
+        zd = over.pop("zdrop", None)
+        nsec = over.pop("n_secondary", None)
+        assert not over, f"unapplied extra-param overrides: {sorted(over)}"
+        # long-read / assembly presets tolerate far more diagonal drift
+        # (indels accumulate over kb-scale alignments); sr keeps one
+        # 128-lane register. Multiples of 128 for TPU lane alignment.
+        band = 128 if preset == "sr" else 512
+        if bw is not None:
+            # -r sets both mm2's chaining bandwidth and its alignment band;
+            # widen the extension band to cover the requested drift (rounded
+            # up to the TPU's 128-lane granularity, capped like long presets)
+            band = max(band, min(512, -(-int(bw) // 128) * 128))
         return cls(
             k=k,
             w=w,
             max_gap=gap,
-            bandwidth=min(gap, 500),
+            bandwidth=min(gap, 500) if bw is None else int(bw),
             min_chain_cnt=cnt,
             min_chain_score=chain,
-            # long-read / assembly presets tolerate far more diagonal drift
-            # (indels accumulate over kb-scale alignments); sr keeps one
-            # 128-lane register. Multiples of 128 for TPU lane alignment.
-            band=128 if preset == "sr" else 512,
+            band=band,
             hpc=(preset == "map-pb"),
             # minimap2 pins mid_occ = 1000 in the sr preset; the others
             # leave it unset and derive it from the index frequency quantile
@@ -129,10 +231,13 @@ class AlignParams:
             is_sr=(preset == "sr"),
             # sr pins zdrop=100/end_bonus=10; long-read presets use mm2's
             # looser 400 (asm 200) and no end bonus
-            zdrop=100 if preset == "sr" else (
-                200 if preset.startswith("asm") else 400
-            ),
+            zdrop=(
+                100 if preset == "sr" else (
+                    200 if preset.startswith("asm") else 400
+                )
+            ) if zd is None else int(zd),
             end_bonus=10 if preset == "sr" else 0,
+            n_secondary=5 if nsec is None else int(nsec),
             scoring=ope.SrScoring(
                 match=m, mismatch=x,
                 gap_open1=o1, gap_ext1=e1, gap_open2=o2, gap_ext2=e2,

@@ -79,6 +79,14 @@ class Config:
     # (the asm analogue of keep_cobs_indexes; costs ~decompressed-genome
     # disk per batch — disable at full 661k scale if disk is tight).
     asm_cache: bool = True
+    # combined disk budget (GB) for the two persistent caches above (the
+    # device-format index cache and the decoded-asm cache): least-recently
+    # -used batch entries are evicted once the total crosses the budget,
+    # so a full-661k run cannot grow unboundedly past the reference's
+    # documented ~120 GB disk contract (README.md:95-96). <= 0 disables
+    # eviction. Enforcement runs after each cache build, so transient
+    # overshoot is bounded by the in-flight batches' sizes.
+    cache_max_disk_gb: float = 50.0
     # cross-query k-mer dedup in the match kernel (two-stage gather; beats
     # the gather roofline at >= ~45% shared k-mers, bit-identical output).
     # Opt-in: the host-side unique pass only pays off on hosts where it is

@@ -102,8 +102,21 @@ def open_asm_cache(
         except ValueError:
             meta = None
         if meta and meta.get("tar_sig") == sig:
-            blob = np.memmap(bin_p, dtype=np.uint8, mode="r")
-            return AsmCache(blob, meta["genomes"], meta["order"])
+            try:
+                # a batch whose decoded blob is empty leaves a 0-byte
+                # .codes file, which np.memmap refuses to map — mirror the
+                # build path's `if off` guard so re-runs don't crash on it
+                blob = (
+                    np.memmap(bin_p, dtype=np.uint8, mode="r")
+                    if bin_p.stat().st_size
+                    else np.zeros(0, np.uint8)
+                )
+            except OSError:
+                pass  # evicted between the existence check and the map:
+                # fall through to rebuild
+            else:
+                os.utime(meta_p)  # LRU stamp for utils.diskbudget
+                return AsmCache(blob, meta["genomes"], meta["order"])
     cache_dir.mkdir(parents=True, exist_ok=True)
     order: list[str] = []
     genomes: list[tuple[str, list]] = []

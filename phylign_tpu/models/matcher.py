@@ -579,7 +579,8 @@ class Matcher:
         )
 
     def _window_hits(
-        self, vals, idx, n_keep, rows_of, threshold: float, k_max: int, kk: int
+        self, vals, idx, n_keep, rows_of, threshold: float, k_max: int,
+        kk: int, device_lock=None,
     ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
         """Assemble per-query hit lists from a fetched top-k window; queries
         whose qualifying set may overflow the window (n_keep > kk) re-score
@@ -599,18 +600,30 @@ class Matcher:
             hits.append(
                 [(int(idx[q, j]), int(vals[q, j])) for j in range(take)]
             )
-        self._redo_overflow(hits, n_keep, redo, rows_of, threshold, k_max)
+        self._redo_overflow(
+            hits, n_keep, redo, rows_of, threshold, k_max, device_lock
+        )
         return hits, n_keep.astype(np.int32)
 
     def _redo_overflow(
-        self, hits, n_keep, redo, rows_of, threshold: float, k_max: int
+        self, hits, n_keep, redo, rows_of, threshold: float, k_max: int,
+        device_lock=None,
     ) -> None:
-        """Re-score window-overflow queries via the full-matrix path."""
+        """Re-score window-overflow queries via the full-matrix path.
+
+        ``device_lock``: callers that fetch outside the pipeline's device
+        lock (score_hits_hashes_end) pass it back in so this rare dense
+        re-dispatch is serialized against concurrent align flushes rather
+        than racing them for transient HBM."""
         if not redo:
             return
-        scores, keep, _ = self.score_rows(
-            [rows_of(q) for q in redo], threshold, k_max
-        )
+        import contextlib
+
+        lock = device_lock if device_lock is not None else contextlib.nullcontext()
+        with lock:
+            scores, keep, _ = self.score_rows(
+                [rows_of(q) for q in redo], threshold, k_max
+            )
         for row, q in enumerate(redo):
             docs = np.nonzero(keep[row])[0]
             hits[q] = [(int(dd), int(scores[row, dd])) for dd in docs]
@@ -618,7 +631,8 @@ class Matcher:
             n_keep[q] = len(hits[q])  # keep header count == emitted set
 
     def _window_hits_flat(
-        self, flat, n_keep, rows_of, threshold: float, k_max: int, kk: int
+        self, flat, n_keep, rows_of, threshold: float, k_max: int, kk: int,
+        device_lock=None,
     ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
         """_window_hits over the device-compacted flat (score|doc) buffer
         (_hash_topk_flat): same hit lists, ~kk/take fewer fetched bytes."""
@@ -641,7 +655,9 @@ class Matcher:
                 continue
             o, t = offs_l[q], take_l[q]
             hits[q] = list(zip(ids[o : o + t], vals[o : o + t]))
-        self._redo_overflow(hits, n_keep, redo, rows_of, threshold, k_max)
+        self._redo_overflow(
+            hits, n_keep, redo, rows_of, threshold, k_max, device_lock
+        )
         return hits, n_keep.astype(np.int32)
 
     def score_hits_hashes_begin(self, dq, threshold: float, topn: int, k_max: int = 512):
@@ -677,9 +693,16 @@ class Matcher:
         return (dq, out_dev, threshold, topn, k_max, kk, cap)
 
     def score_hits_hashes_end(
-        self, ctx
+        self, ctx, device_lock=None
     ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
-        """Fetch + assemble a score_hits_hashes_begin dispatch."""
+        """Fetch + assemble a score_hits_hashes_begin dispatch.
+
+        Runs OUTSIDE the pipeline's device lock by design (overlaps the
+        fetch with the next dispatch); the rare overflow fallbacks below
+        dispatch heavy device programs, so they re-acquire ``device_lock``
+        when the caller provides it."""
+        import contextlib
+
         from phylign_tpu.kmer import rows_from_hashes
 
         dq, out_dev, threshold, topn, k_max, kk, cap = ctx
@@ -693,17 +716,20 @@ class Matcher:
         total = out[-1]
         if int(total) <= cap:
             return self._window_hits_flat(
-                flat, n_keep, rows_of, threshold, k_max, kk
+                flat, n_keep, rows_of, threshold, k_max, kk,
+                device_lock=device_lock,
             )
-        nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
-        vals, idx, n_keep = jax.device_get(
-            _hash_topk(
+        lock = device_lock if device_lock is not None else contextlib.nullcontext()
+        with lock:
+            nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
+            pend = _hash_topk(
                 self.words, dq.hi, dq.lo, nk_d, cut_d,
                 s=self.signature_size, pad_row=self.pad_row, kk=kk, d=d,
             )
-        )
+        vals, idx, n_keep = jax.device_get(pend)
         return self._window_hits(
-            vals, idx, n_keep, rows_of, threshold, k_max, kk
+            vals, idx, n_keep, rows_of, threshold, k_max, kk,
+            device_lock=device_lock,
         )
 
     def score_hits_hashes(

@@ -101,6 +101,17 @@ class QuerySet:
             return hit
         dq = DeviceQueryHashes.build(self.uraw[off : off + size])
         with self._lock:
+            # bound device residency: keep at most TWO chunk layouts (the
+            # auto-chunk is power-of-two quantized, but batches of very
+            # different widths can still alternate sizes — evicting the
+            # least-recent layout keeps HBM at ~2x the query hash set
+            # instead of growing per distinct size; in-flight users keep
+            # their buffers alive via ordinary references)
+            sizes = {s for (_, s) in self._dq}
+            if size not in sizes and len(sizes) >= 2:
+                drop = next(iter(self._dq))[1]  # oldest layout's size
+                for k in [k for k in self._dq if k[1] == drop]:
+                    del self._dq[k]
             return self._dq.setdefault(key, dq)
 
 
@@ -393,18 +404,39 @@ class Pipeline:
         if mode not in ("mem-disk", "mmap-disk"):
             raise ValueError(f"unknown index_load_mode: {mode}")
         cache = self._decompression_dir() / batch
-        if not (cache / "meta.json").exists():
-            idx = cobs_io.read_classic_index(self.cobs_path(batch))
-            didx = cobs_io.to_device_index(idx)
-            cobs_io.save_device_index(cache, didx)
-            del idx
-        # both disk modes open the word matrix memmapped: when the
-        # device-resident index cache hits, the words are never touched at
-        # all (the full eager np.load cost ~25 MB x B of wasted disk reads
-        # per run). mem-disk's "load fully" semantic is preserved where it
-        # matters — the H2D upload on a cache miss reads the file once,
-        # sequentially, exactly as the eager load did.
-        return cobs_io.load_device_index(cache, mmap=True)
+        for _attempt in range(3):
+            meta = cache / "meta.json"
+            built = not meta.exists()
+            if built:
+                idx = cobs_io.read_classic_index(self.cobs_path(batch))
+                didx = cobs_io.to_device_index(idx)
+                cobs_io.save_device_index(cache, didx)
+                del idx
+            else:
+                try:
+                    os.utime(meta)  # LRU stamp for utils.diskbudget
+                except OSError:
+                    pass
+            # both disk modes open the word matrix memmapped: when the
+            # device-resident index cache hits, the words are never touched
+            # at all (the full eager np.load cost ~25 MB x B of wasted disk
+            # reads per run). mem-disk's "load fully" semantic is preserved
+            # where it matters — the H2D upload on a cache miss reads the
+            # file once, sequentially, exactly as the eager load did.
+            try:
+                out = cobs_io.load_device_index(cache, mmap=True)
+            except OSError:
+                continue  # evicted by a concurrent budget pass; rebuild
+            if built:
+                # enforce AFTER the memmap opens: POSIX keeps an unlinked
+                # file readable through the open map, so even a budget
+                # smaller than this one entry degrades to rebuild-per-run
+                self._enforce_cache_budget()
+            return out
+        # cache dir is being evicted faster than we can rebuild (budget
+        # ~0): serve the index straight from the xz decode
+        idx = cobs_io.read_classic_index(self.cobs_path(batch))
+        return cobs_io.to_device_index(idx)
 
     def drop_index_cache(self, batch: str | None = None) -> None:
         """Remove cached decompressed indexes (keep_cobs_indexes=False
@@ -467,9 +499,16 @@ class Pipeline:
             matcher.dedup = self.cfg.match_dedup
             chunk = self.cfg.device_query_chunk
             if not isinstance(chunk, int):  # "auto": bound the transient
-                # [Q, 32*Wp] int32 score matrix at ~256 MB per call
+                # [Q, 32*Wp] int32 score matrix at ~256 MB per call.
+                # Quantized DOWN to a power of two so batches of different
+                # widths share at most a handful of chunk layouts — the
+                # QuerySet device-hash cache is keyed by (off, size), and
+                # an unquantized per-wp chunk would re-upload the whole
+                # query set (and re-jit _hash_topk_flat) per distinct
+                # batch width.
                 wp = max(1, int(didx.words.shape[1]))
                 chunk = max(1024, min(32768, (256 << 20) // (wp * 128)))
+                chunk = 1 << (chunk.bit_length() - 1)
             hits_u: list[list[tuple[int, int]]] = []
             nk_u: list[int] = []
             use_hashes = (
@@ -515,7 +554,9 @@ class Pipeline:
                         )
             for kind, payload in slots:
                 hl, nk = (
-                    matcher.score_hits_hashes_end(payload)
+                    matcher.score_hits_hashes_end(
+                        payload, device_lock=self.sched.device_lock
+                    )
                     if kind == "pending"
                     else payload
                 )
@@ -826,7 +867,25 @@ class Pipeline:
             write_batch_sam(tmp, records)
             commit()
         self.manifest.mark("map", f"{batch}____{stem}", [str(out)])
+        if self.cfg.asm_cache:
+            self._enforce_cache_budget()
         return out
+
+    def _enforce_cache_budget(self) -> None:
+        """LRU-evict the persistent disk caches down to cache_max_disk_gb
+        (utils.diskbudget): called after each cache-entry build, so a full
+        305-batch run stays within the configured disk contract."""
+        gb = self.cfg.cache_max_disk_gb
+        if not gb or gb <= 0:
+            return
+        from phylign_tpu.utils.diskbudget import enforce_budget
+
+        dirs = [self._decompression_dir()]
+        if self.cfg.asm_cache:
+            ad = self._asm_cache_dir()
+            if ad:
+                dirs.append(Path(ad))
+        enforce_budget(dirs, int(gb * 1e9))
 
     def _asm_cache_dir(self) -> str | None:
         if not self.cfg.asm_cache:
@@ -914,6 +973,8 @@ class Pipeline:
                         commit()
                     self.manifest.mark("map", f"{bname}____{stem}", [str(out)])
                     outs[bname] = out
+                    if self.cfg.asm_cache:
+                        self._enforce_cache_budget()
         return [outs[b] for b in batches]
 
     # --- stage 6: aggregate + stats ------------------------------------------
