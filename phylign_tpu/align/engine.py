@@ -1142,7 +1142,11 @@ def _extend_finish(
             else:
                 trimmed = _local_trim(cigars[i][0], params.scoring)
                 dp2 = int(trimmed[2]) if trimmed is not None else 0
-            probes[ti] = dp2 if dp2 >= params.scoring.min_dp_score else 0
+            # MAX-accumulate: dp_max2 is the max DP score over every
+            # probed overlapping secondary region (mm2 hit.c scans all
+            # overlapping regions), not the last one extended
+            dp2 = dp2 if dp2 >= params.scoring.min_dp_score else 0
+            probes[ti] = max(probes.get(ti, 0), dp2)
             continue
         t = tasks[ti]
         sk, ref = t.sketch, t.ref
@@ -1180,7 +1184,8 @@ def _extend_finish(
                         n_d += nn
             pos = w0_l[i] + start_d + lead_r - c_start_l[i] + 1
             nm = n_x + n_i + n_d
-            de = round(nm / max(1, n_eq + nm), 4)
+            n_go = sum(1 for _, op in pcig if op in "ID")
+            de = _de_tag(n_eq, n_x, n_go)
             seq = sk.rc_seq() if strand else sk.seq
             key = (ti, seg) if pk == 0 else (ti, SPLIT_SEG0 + pk)
             flag = (16 if strand else 0) | (2048 if key[1] else 0)
@@ -1345,11 +1350,21 @@ def flush_pairs_host_grouped(
             best_over[0] if best_over is not None else 0.0, prim[7], 0.0
         )
         chained.append(((ti, 0), prim[:6] + (s2, prim[6])))
-        if s2 > 0:
-            if best_over is not None and best_over[0] >= prim[7]:
-                add_probe(ti, s2, best_over[1], *best_over[2:6])
-            else:
-                add_probe(ti, s2, prim[1], *prim[8:12])
+        # dp_max2 = max DP score over ALL retained overlapping secondary
+        # regions (mm2 extends every secondary kept by -N/best_n and
+        # mm_set_mapq reads the parent's subsc DP twin) — probe each of
+        # them, not just the single best-chaining competitor; the probes
+        # dict max-accumulates in _extend_items
+        over.sort(key=lambda c: (-c[0], c[1], c[2]))
+        probed = over[: max(1, params.n_secondary)]
+        for c in probed:
+            add_probe(ti, c[0], c[1], *c[2:6])
+        if prim[7] > 0 and not any(
+            tuple(c[2:6]) == tuple(prim[8:12]) for c in probed
+        ):
+            # the chain DP's same-strand alt names a region no host
+            # candidate covers: probe it too
+            add_probe(ti, prim[7], prim[1], *prim[8:12])
         picked = [prim]
         for c in rest:
             if len(picked) >= params.max_segments:
@@ -1435,7 +1450,8 @@ def _extend_items(
     def drain(ctx):
         rec, prb = _extend_finish(ctx)
         records.update(rec)
-        probes.update(prb)
+        for pti, v in prb.items():  # dp_max2 = max over ALL probed regions
+            probes[pti] = max(probes.get(pti, 0), v)
 
     for ck, lb in chunks:
         inflight.append(_extend_dispatch(tasks, ck, lb, params, mesh))
@@ -1614,9 +1630,31 @@ def _fused_dispatch(
     )
 
 
-#: de:f tag strings by rounded value — tiny cardinality (nm/qlen pairs),
+#: de:f tag strings by ratio value — tiny cardinality (nm/qlen pairs),
 #: shared across flushes so the native path never re-does float repr work
 _DE_STR_CACHE: dict[float, str] = {}
+
+
+def _de_fmt(ratio: float) -> str:
+    """minimap2's de:f rendering (format.c): '0' when exactly zero, else
+    the float32-stored divergence with %.4f — the golden file carries both
+    forms ('de:f:0', 'de:f:0.0067' for 1 mismatch / 150 bp)."""
+    if ratio == 0.0:
+        return "0"
+    s = _DE_STR_CACHE.get(ratio)
+    if s is None:
+        s = _DE_STR_CACHE.setdefault(ratio, f"{np.float32(ratio):.4f}")
+    return s
+
+
+def _de_tag(n_eq: int, n_x: int, n_gapo: int) -> str:
+    """Gap-compressed per-base divergence, mm2's mm_event_identity: each
+    I/D RUN counts as ONE event (the previous approximation charged every
+    gap BASE): de = (X + gap_runs) / (= + X + gap_runs)."""
+    den = n_eq + n_x + n_gapo
+    if den <= 0:
+        return "0"
+    return _de_fmt((n_x + n_gapo) / den)
 
 
 def _assemble_fast_native(
@@ -1655,13 +1693,7 @@ def _assemble_fast_native(
     r2, c2 = np.nonzero(neq_mask[nat])
     mis_off = np.zeros(len(nat_l) + 1, np.int64)
     np.cumsum(np.bincount(r2, minlength=len(nat_l)), out=mis_off[1:])
-    cache = _DE_STR_CACHE
-    de_parts = []
-    for v in de_v[nat].tolist():
-        s = cache.get(v)
-        if s is None:
-            s = cache.setdefault(v, str(v))
-        de_parts.append(s)
+    de_parts = [_de_fmt(v) for v in de_v[nat].tolist()]
     de_buf = "".join(de_parts).encode()
     de_off = np.zeros(len(nat_l) + 1, np.int64)
     np.cumsum([len(s) for s in de_parts], out=de_off[1:])
@@ -1843,7 +1875,9 @@ def _fused_finish(
     # vectorized twins of the per-record scalars (valid for FULL rows; the
     # trim path recomputes from its trimmed cigar)
     dp_v = m_s * (q_len - neq_cnt) - x_s * neq_cnt
-    de_v = np.round(neq_cnt / np.maximum(1, q_len), 4)
+    # gapless rows: gap-compressed divergence == X/(=+X) == neq/qlen;
+    # rendering (mm2's '0'-or-%.4f) happens in _de_fmt at string build
+    de_v = neq_cnt / np.maximum(1, q_len)
     # float64 throughout so boundary truncations match the python-scalar
     # path bit-for-bit (f32 rounds differently); scores are clipped
     # before int casts — inactive rows carry the -1e30 sentinel
@@ -1923,7 +1957,7 @@ def _fused_finish(
                 cigar = perfect_cig.setdefault(
                     qlen_l[i], f"{qlen_l[i]}="
                 )
-        pos, dp_score, de, mapq = pos_l[i], dp_l[i], de_l[i], mapq_l[i]
+        pos, dp_score, de, mapq = pos_l[i], dp_l[i], _de_fmt(de_l[i]), mapq_l[i]
         cm, s1i, s2i = cm_l[i], s1_l[i], s2i_l[i]
         ti = tis[i]
         sk = tasks[ti].sketch
@@ -1984,7 +2018,8 @@ def _fused_finish(
                 elif op == "D":
                     n_d += nn
             nm = n_x + n_i + n_d
-            de = round(nm / max(1, n_eq + nm), 4)
+            n_go = sum(1 for _, op in pcig if op in "ID")
+            de = _de_tag(n_eq, n_x, n_go)
             key = (ti, 0) if pk == 0 else (ti, SPLIT_SEG0 + pk)
             records[key] = SamRecord(
                 qname=sk.name,

@@ -124,7 +124,19 @@ class Config:
                 "config key %r accepted for compatibility but has no effect: %s",
                 key, INERT_KEYS[key],
             )
-        return cls(**data)
+        cfg = cls(**data)
+        if cfg.nb_best_hits < 1:
+            # the reference crashes on nb_best_hits=0 deep inside
+            # filter_queries.py _housekeeping (IndexError on an empty
+            # list); fail loudly at config load instead
+            raise ValueError(
+                f"nb_best_hits must be >= 1 (got {cfg.nb_best_hits})"
+            )
+        if not 0.0 <= float(cfg.cobs_kmer_thres) <= 1.0:
+            raise ValueError(
+                f"cobs_kmer_thres must be in [0, 1] (got {cfg.cobs_kmer_thres})"
+            )
+        return cfg
 
     def with_overrides(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **{k: v for k, v in kw.items() if v is not None})

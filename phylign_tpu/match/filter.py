@@ -33,7 +33,14 @@ class FilteredQuery:
 def filter_candidates(
     matches: Sequence[tuple[str, str, int]], keep: int
 ) -> list[tuple[str, str, int]]:
-    """(batch, accession, score) triples -> kept sorted subset with ties."""
+    """(batch, accession, score) triples -> kept sorted subset with ties.
+
+    keep <= 0 keeps nothing (deterministic edge: the reference's
+    postprocess emits nothing for -n 0 and its filter crashes,
+    ref: postprocess_cobs.py:28-39, filter_queries.py:133-150;
+    Config validation rejects nb_best_hits < 1 before reaching here)."""
+    if keep <= 0:
+        return []
     ordered = sorted(matches, key=lambda x: (-x[2], x[0], x[1]))
     if len(ordered) <= keep:
         return ordered

@@ -28,8 +28,12 @@ def top_n_with_ties(
     hits: Sequence[tuple[str, int]], keep: int
 ) -> list[tuple[str, int]]:
     """Keep the first ``keep`` hits of a score-desc-sorted list, plus any
-    following hits whose score equals the rank-``keep`` score."""
-    if keep <= 0 or len(hits) <= keep:
+    following hits whose score equals the rank-``keep`` score. keep <= 0
+    keeps nothing (the reference's postprocess prints no hit lines for
+    -n 0, ref: postprocess_cobs.py:28-39)."""
+    if keep <= 0:
+        return []
+    if len(hits) <= keep:
         return list(hits)
     min_score = hits[keep - 1][1]
     out = list(hits[:keep])

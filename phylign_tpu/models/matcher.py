@@ -660,13 +660,24 @@ class Matcher:
         )
         return hits, n_keep.astype(np.int32)
 
-    def score_hits_hashes_begin(self, dq, threshold: float, topn: int, k_max: int = 512):
+    def score_hits_hashes_begin(
+        self, dq, threshold: float, topn: int, k_max: int = 512,
+        cap: int | None = None,
+    ):
         """Async half of score_hits_hashes: DISPATCH the device program and
         return an opaque ctx (or None when this path does not apply —
         caller falls back to the synchronous score_hits_hashes). Lets the
         pipeline dispatch under the device lock and fetch/assemble outside
         it, so the next batch's program queues while this one's results
-        cross the link."""
+        cross the link.
+
+        ``cap`` bounds the compacted hit buffer that crosses the link. The
+        default (every query could fill its topn+ties window) is safe but
+        pads the fetch ~tens-of-x on real workloads where most reads hit
+        few documents per batch; callers with history (the pipelined match
+        stage) pass a smaller cap — scatter overflow past it falls back to
+        the dense window fetch, so a too-small cap costs time, never
+        correctness."""
         d = len(self.doc_names)
         if (
             self.mesh is not None
@@ -681,7 +692,8 @@ class Matcher:
             return None
         kk = min(d, round_up(min(topn + 33, d), 32))
         nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
-        cap = len(dq.n_kmers) * min(kk, topn + 12)
+        full = len(dq.n_kmers) * min(kk, topn + 12)
+        cap = full if cap is None else max(256, min(int(cap), full))
         out_dev = _hash_topk_flat(
             self.words, dq.hi, dq.lo, nk_d, cut_d, s=self.signature_size,
             pad_row=self.pad_row, kk=kk, d=d, cap=cap,
@@ -693,14 +705,16 @@ class Matcher:
         return (dq, out_dev, threshold, topn, k_max, kk, cap)
 
     def score_hits_hashes_end(
-        self, ctx, device_lock=None
+        self, ctx, device_lock=None, fetched=None
     ) -> tuple[list[list[tuple[int, int]]], np.ndarray]:
         """Fetch + assemble a score_hits_hashes_begin dispatch.
 
         Runs OUTSIDE the pipeline's device lock by design (overlaps the
         fetch with the next dispatch); the rare overflow fallbacks below
         dispatch heavy device programs, so they re-acquire ``device_lock``
-        when the caller provides it."""
+        when the caller provides it. ``fetched``: the output array already
+        device_get-fetched by a coalescing caller (one round trip for many
+        batches) — skips the per-call fetch."""
         import contextlib
 
         from phylign_tpu.kmer import rows_from_hashes
@@ -710,7 +724,7 @@ class Matcher:
         rows_of = lambda q: rows_from_hashes(  # noqa: E731
             dq.raw[q], self.signature_size
         )
-        out = jax.device_get(out_dev)
+        out = jax.device_get(out_dev) if fetched is None else fetched
         flat = out[:cap]
         n_keep = out[cap : cap + len(dq.n_kmers)].astype(np.int32)
         total = out[-1]

@@ -47,11 +47,7 @@ from phylign_tpu.match.filter import (
     read_filtered_fasta,
     write_filtered_fasta,
 )
-from phylign_tpu.match.postprocess import (
-    QueryMatches,
-    read_match_file,
-    write_match_file,
-)
+from phylign_tpu.match.postprocess import read_match_file
 from phylign_tpu.models.matcher import Matcher
 from phylign_tpu.pipeline.manifest import Manifest, atomic_write_via
 from phylign_tpu.pipeline.scheduler import Job, Scheduler
@@ -87,6 +83,12 @@ class QuerySet:
         self.uraw = uraw
         self._dq: dict = {}
         self._lock = threading.Lock()
+        # adaptive fetch-cap hint: max qualifying-hit total any batch has
+        # produced for this read set so far (None = no history). Later
+        # batches size their compacted device->host hit buffer from it
+        # instead of the worst-case topn+ties window (
+        # models.matcher.score_hits_hashes_begin cap param).
+        self.hit_hint: int | None = None
 
     def raw_per_record(self) -> list[np.ndarray]:
         return [self.uraw[j] for j in self.rep_of]
@@ -364,10 +366,13 @@ class Pipeline:
         with benchmark(self.logs, "run_cobs", f"{batch}____{stem}"):
             didx = self._load_index(batch)
             qs = self._query_set(stem, didx.term_size, didx.num_hashes)
-            matches = self._score_batch(didx, qs)
+            hits_u, nk_u = self._score_batch(didx, qs)
             tmp, commit = atomic_write_via(out)
             with xopen_write(tmp) as f:
-                write_match_file(f, matches, keep=self.cfg.nb_best_hits)
+                self._write_match_unique(
+                    f, qs, hits_u, nk_u, didx.doc_names,
+                    keep=self.cfg.nb_best_hits,
+                )
             commit()
         self.manifest.mark("match", f"{batch}____{stem}", [str(out)])
         if (
@@ -451,25 +456,24 @@ class Pipeline:
             if t.is_dir():
                 shutil.rmtree(t)
 
-    def _score_batch(
-        self, didx: cobs_io.DeviceIndex, qs: QuerySet
-    ) -> list[QueryMatches]:
-        """Score all queries against one batch index, device-chunked.
+    def _score_batch_begin(self, didx: cobs_io.DeviceIndex, qs: QuerySet) -> dict:
+        """DISPATCH one batch's scoring; pair with _score_batch_end.
 
         Only UNIQUE queries are scored (qs.rep_of broadcasts the results to
         duplicates), and on the resident single-chip path their hashes are
         device-resident: the per-batch work is a cut-vector upload + one
         mod->gather->top-k program + the hit-window fetch.
 
-        The index upload (device_put, async) runs OUTSIDE the device lock so
-        the next batch's H2D transfer overlaps the current batch's scoring
-        compute — through this environment's relay the upload is the dominant
-        per-batch device cost. The HBM accountant bounds how many indexes are
-        resident at once."""
+        Paths that must fetch internally (empty batch, oversized/chunked
+        index, mesh, dedup/raw fallback) return a {"sync": results} state;
+        the async path returns the dispatched slots so the caller can
+        coalesce many batches' fetches into one device_get round trip
+        (_match_pipelined). The HBM accountant bounds how many transient
+        indexes are resident at once."""
         records = qs.records
         use_device = didx.num_docs > 0 and len(records) > 0
         if not use_device:
-            return [QueryMatches(r.name, 0, []) for r in records]
+            return {"sync": ([[] for _ in qs.uraw], [0] * len(qs.uraw))}
         from phylign_tpu.models.matcher import device_index_bytes
 
         mesh = self.mesh()
@@ -482,7 +486,7 @@ class Pipeline:
         align_reserve_mb = 1536  # two 640 MB flush slots + margin
         chunk_budget = max(256, self._hbm_transient_mb - align_reserve_mb)
         if mesh is None and didx.num_hashes == 1 and hbm_mb > chunk_budget:
-            return self._score_batch_chunked(didx, qs, chunk_budget)
+            return {"sync": self._score_batch_chunked(didx, qs, chunk_budget)}
         key = matcher = None
         if self._index_cache is not None and hbm_mb <= self._index_cache.budget:
             key = (
@@ -509,8 +513,6 @@ class Pipeline:
                 wp = max(1, int(didx.words.shape[1]))
                 chunk = max(1024, min(32768, (256 << 20) // (wp * 128)))
                 chunk = 1 << (chunk.bit_length() - 1)
-            hits_u: list[list[tuple[int, int]]] = []
-            nk_u: list[int] = []
             use_hashes = (
                 mesh is None
                 and not matcher.dedup
@@ -522,6 +524,14 @@ class Pipeline:
             # slots keep chunk order even if some chunks fall back to the
             # synchronous paths.
             thr, topn = self.cfg.cobs_kmer_thres, self.cfg.nb_best_hits
+            # adaptive fetch cap from this read set's history: 4x the
+            # largest per-batch hit total seen, power-of-two quantized so
+            # distinct caps (-> distinct compiled programs) stay rare. A
+            # too-small cap overflows into the dense-window fallback
+            # (correct, slower); first batch uses the safe worst case.
+            cap_hint = None
+            if qs.hit_hint is not None:
+                cap_hint = 1 << max(12, (4 * qs.hit_hint + 2048).bit_length())
             slots: list = []
             with self.sched.device_lock:
                 for off in range(0, len(qs.uraw), chunk):
@@ -530,7 +540,7 @@ class Pipeline:
                     if use_hashes:
                         dqc = qs.device_chunk(off, chunk)
                         ctx = matcher.score_hits_hashes_begin(
-                            dqc, thr, topn
+                            dqc, thr, topn, cap=cap_hint
                         )
                         if ctx is not None:
                             slots.append(("pending", ctx))
@@ -552,47 +562,107 @@ class Pipeline:
                                 ),
                             )
                         )
-            for kind, payload in slots:
-                hl, nk = (
-                    matcher.score_hits_hashes_end(
-                        payload, device_lock=self.sched.device_lock
+        except BaseException:
+            if transient:
+                self.sched.hbm.release(hbm_mb)
+            raise
+        return {
+            "matcher": matcher,
+            "slots": slots,
+            "transient": transient,
+            "key": key,
+            "hbm_mb": hbm_mb,
+        }
+
+    def _score_batch_end(
+        self, st: dict, fetched: dict | None = None, qs: QuerySet | None = None
+    ) -> tuple[list[list[tuple[int, int]]], list[int]]:
+        """FETCH + assemble a _score_batch_begin dispatch. ``fetched`` maps
+        slot index -> already-host-fetched output array (the coalesced
+        device_get path); missing slots fetch individually. ``qs`` (when
+        given) records the batch's hit total as the adaptive-cap hint for
+        subsequent batches."""
+        if "sync" in st:
+            return st["sync"]
+        matcher = st["matcher"]
+        hits_u: list[list[tuple[int, int]]] = []
+        nk_u: list[int] = []
+        try:
+            for si, (kind, payload) in enumerate(st["slots"]):
+                if kind == "pending":
+                    pre = None if fetched is None else fetched.get(si)
+                    hl, nk = matcher.score_hits_hashes_end(
+                        payload,
+                        device_lock=self.sched.device_lock,
+                        fetched=pre,
                     )
-                    if kind == "pending"
-                    else payload
-                )
+                else:
+                    hl, nk = payload
                 hits_u.extend(hl)
                 nk_u.extend(int(x) for x in nk)
         finally:
-            if transient:
-                if key is not None and self._index_cache.put(key, matcher, hbm_mb):
+            if st["transient"]:
+                if st["key"] is not None and self._index_cache.put(
+                    st["key"], matcher, st["hbm_mb"]
+                ):
                     pass  # ownership moved to the cache's carved-out budget
-                self.sched.hbm.release(hbm_mb)
-        return self._broadcast_matches(didx, qs, hits_u, nk_u)
+                self.sched.hbm.release(st["hbm_mb"])
+        if qs is not None:
+            emitted = sum(len(h) for h in hits_u)
+            qs.hit_hint = max(qs.hit_hint or 0, emitted)
+        return hits_u, nk_u
+
+    def _score_batch(
+        self, didx: cobs_io.DeviceIndex, qs: QuerySet
+    ) -> tuple[list[list[tuple[int, int]]], list[int]]:
+        """Score all queries against one batch index, device-chunked.
+        Returns UNIQUE-query (hit lists, qualifying counts); qs.rep_of
+        broadcasts them to records at write time (_write_match_unique)."""
+        return self._score_batch_end(self._score_batch_begin(didx, qs), qs=qs)
 
     @staticmethod
-    def _broadcast_matches(
-        didx: cobs_io.DeviceIndex,
+    def _write_match_unique(
+        fp,
         qs: QuerySet,
         hits_u: list[list[tuple[int, int]]],
         nk_u: Sequence[int],
-    ) -> list[QueryMatches]:
-        """Per-record QueryMatches from unique-query hit lists: resolve doc
-        names + sort once per UNIQUE query, share the list across duplicate
-        records (read-only downstream)."""
-        names = didx.doc_names
-        named_u: list[list[tuple[str, int]]] = []
+        names: Sequence[str],
+        keep: int,
+    ) -> None:
+        """Emit the 03_match text contract straight from unique-query hit
+        lists: resolve + sort + top-n-cut + render ONCE per UNIQUE query,
+        then stream per-record headers + the shared hit block in a single
+        write. Byte-identical to write_match_file over per-record
+        QueryMatches (tested), but the per-record loop is two list appends
+        instead of a sort + cut + per-hit formatting — at 10k reads x
+        hundreds of batches the per-record work dominated the match stage
+        (ref contract: /root/reference/scripts/postprocess_cobs.py:21-39)."""
+        from phylign_tpu.io.cobs import strip_rid
+        from phylign_tpu.match.postprocess import top_n_with_ties
+
+        text_u: list[str] = []
         for hl in hits_u:
+            if not hl:
+                text_u.append("")
+                continue
             hits = [(names[di], sc) for di, sc in hl]
             hits.sort(key=lambda x: (-x[1], x[0]))
-            named_u.append(hits)
-        return [
-            QueryMatches(rec.name, int(nk_u[j]), named_u[j])
-            for rec, j in zip(qs.records, qs.rep_of)
-        ]
+            text_u.append(
+                "".join(
+                    f"_{strip_rid(n)}\t{s}\n"
+                    for n, s in top_n_with_ties(hits, keep)
+                )
+            )
+        nk_l = [int(x) for x in nk_u]
+        parts: list[str] = []
+        for rec, j in zip(qs.records, qs.rep_of.tolist()):
+            parts.append(f"*{rec.name}\t{nk_l[j]}\n")
+            parts.append(text_u[j])
+        fp.write("".join(parts))
 
     def _score_batch_chunked(
         self, didx: cobs_io.DeviceIndex, qs: QuerySet, budget_mb: int
-    ) -> list[QueryMatches]:
+    ) -> tuple[list[list[tuple[int, int]]], list[int]]:
         """Score one OVERSIZED batch by streaming signature-row blocks
         (models.matcher.ChunkedMatcher): the index never sits resident, so
         align flushes of other batches keep their HBM headroom. The whole
@@ -616,7 +686,7 @@ class Pipeline:
                 )
         finally:
             self.sched.hbm.release(budget_mb)
-        return self._broadcast_matches(didx, qs, hits_u, [int(x) for x in nk_u])
+        return hits_u, [int(x) for x in nk_u]
 
     #: (filename, mtime_ns, size) -> content hash; avoids re-hashing a
     #: memmapped on-disk device index's words every run (ms per batch that
@@ -647,6 +717,17 @@ class Pipeline:
 
     def match(self, stem: str, batches: list[str] | None = None) -> list[Path]:
         batches = batches if batches is not None else self.batches()
+        if self.mesh() is None:
+            try:
+                return self._match_pipelined(stem, batches)
+            except Exception:
+                # the manifest makes the job path resume where the
+                # pipelined path stopped; the job path adds per-batch
+                # OOM-escalation retries (scheduler.run_one)
+                log.warning(
+                    "pipelined match failed; falling back to the job "
+                    "scheduler", exc_info=True,
+                )
         jobs = [
             Job(
                 name=f"match:{b}",
@@ -659,6 +740,152 @@ class Pipeline:
         ]
         results = self.sched.run(jobs)
         return [results[f"match:{b}"] for b in batches]
+
+    def _match_pipelined(
+        self, stem: str, batches: list[str], group_size: int = 8
+    ) -> list[Path]:
+        """The match stage as ONE dispatch/fetch pipeline over batches
+        (single-chip fast path).
+
+        The per-batch job path pays one device_get round trip per batch;
+        through a slow host-device link the round-trip floor dominates the
+        warm-cache match stage. Here batches are dispatched in order
+        (device programs queue back-to-back) and their compacted hit
+        buffers are fetched in GROUPS with one jax.device_get pytree call
+        — one link round trip per ``group_size`` batches. Index decode /
+        mmap-open prefetches on a thread pool ahead of dispatch (the
+        reference's analogue: xz streaming into cobs within one rule,
+        Snakefile:431-487). Host assembly + the 03_match write happen at
+        group-flush time, off the dispatch critical path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        outs: dict[str, Path] = {}
+        todo: list[str] = []
+        for b in batches:
+            out = self.match_path(b, stem)
+            if self.manifest.done("match", f"{b}____{stem}", [str(out)]):
+                outs[b] = out
+            else:
+                todo.append(b)
+        if not todo:
+            return [outs[b] for b in batches]
+        drop_cache = (
+            self.cfg.index_load_mode != "mem-stream"
+            and not self.cfg.keep_cobs_indexes
+        )
+
+        def load_one(b: str):
+            mem = self._index_mem_mb(b)
+            self.sched.ram.acquire(mem)
+            try:
+                return self._load_index(b), mem
+            except BaseException:
+                self.sched.ram.release(mem)
+                raise
+
+        group: list[dict] = []
+
+        def release_item(it: dict) -> None:
+            it["bench"].__exit__(None, None, None)
+            self.sched.ram.release(it["mem"])
+
+        def flush_group() -> None:
+            if not group:
+                return
+            keys: list[tuple[int, int]] = []
+            devs: list = []
+            for gi, it in enumerate(group):
+                for si, (kind, payload) in enumerate(
+                    it["st"].get("slots", ())
+                ):
+                    if kind == "pending":
+                        keys.append((gi, si))
+                        devs.append(payload[1])
+            try:
+                fetched_all = (
+                    dict(zip(keys, jax.device_get(devs))) if devs else {}
+                )
+            except BaseException:
+                for it in group:
+                    if it["st"].get("transient"):
+                        self.sched.hbm.release(it["st"]["hbm_mb"])
+                    release_item(it)
+                group.clear()
+                raise
+            for gi, it in enumerate(group):
+                b = it["batch"]
+                try:
+                    fetched = {
+                        si: arr
+                        for (g2, si), arr in fetched_all.items()
+                        if g2 == gi
+                    }
+                    hits_u, nk_u = self._score_batch_end(
+                        it["st"], fetched=fetched or None, qs=it["qs"]
+                    )
+                    out = self.match_path(b, stem)
+                    tmp, commit = atomic_write_via(out)
+                    with xopen_write(tmp) as f:
+                        self._write_match_unique(
+                            f, it["qs"], hits_u, nk_u,
+                            it["didx"].doc_names,
+                            keep=self.cfg.nb_best_hits,
+                        )
+                    commit()
+                    self.manifest.mark("match", f"{b}____{stem}", [str(out)])
+                    outs[b] = out
+                finally:
+                    release_item(it)
+                if drop_cache:
+                    it.pop("didx", None)  # release the mmap before unlink
+                    it.pop("st", None)
+                    self.drop_index_cache(b)
+            group.clear()
+
+        lookahead = max(2 * group_size, 4)
+        pf_workers = max(1, min(self.cfg.max_io_heavy_threads, 8))
+        with benchmark(self.logs, "match_pipelined", stem), ThreadPoolExecutor(
+            pf_workers, thread_name_prefix="idx-prefetch"
+        ) as pool:
+            futs: dict[str, object] = {}
+            try:
+                for i, b in enumerate(todo):
+                    for nb in todo[i : i + lookahead]:
+                        if nb not in futs:
+                            futs[nb] = pool.submit(load_one, nb)
+                    didx, mem = futs.pop(b).result()
+                    bench_cm = benchmark(
+                        self.logs, "run_cobs", f"{b}____{stem}"
+                    )
+                    bench_cm.__enter__()
+                    try:
+                        qs = self._query_set(
+                            stem, didx.term_size, didx.num_hashes
+                        )
+                        st = self._score_batch_begin(didx, qs)
+                    except BaseException:
+                        bench_cm.__exit__(None, None, None)
+                        self.sched.ram.release(mem)
+                        raise
+                    group.append(
+                        {
+                            "batch": b, "didx": didx, "qs": qs, "st": st,
+                            "bench": bench_cm, "mem": mem,
+                        }
+                    )
+                    if len(group) >= group_size:
+                        flush_group()
+                flush_group()
+            finally:
+                for f in futs.values():  # unconsumed prefetch reservations
+                    try:
+                        _, mem = f.result()
+                        self.sched.ram.release(mem)
+                    except BaseException:
+                        pass
+        return [outs[b] for b in batches]
 
     def _index_mem_mb(self, batch: str) -> int:
         """Decompressed-size RAM reservation for the scheduler, from
