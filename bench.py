@@ -305,6 +305,41 @@ def e2e_main() -> None:
     )
 
 
+def align_pairs_throughput(n_pairs: int = 16384) -> float:
+    """Fused align flush pairs/s (the production align kernel path): reads
+    sampled from a genome at 1% mismatch, half reverse-complemented, one
+    device_pair_chunk-sized pool; best of 3 warm flushes."""
+    from phylign_tpu.align import engine as ae
+    from phylign_tpu.kmer import decode_seq
+    from phylign_tpu.ops import minimizer as opm
+
+    rng = np.random.default_rng(7)
+    G, RL = 1_500_000, 150
+    params = ae.AlignParams.from_preset("sr")
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    ref = opm.build_ref_index("g1", [("c1", genome)], params.k, params.w)
+    items = []
+    for i in range(n_pairs):
+        s = rng.integers(0, G - RL)
+        r = genome[s : s + RL].copy()
+        nmut = rng.binomial(RL, 0.01)
+        pos = rng.choice(RL, nmut, replace=False)
+        r[pos] = (r[pos] + rng.integers(1, 4, nmut)) % 4
+        if i % 2:
+            r = (3 - r)[::-1].copy()
+        items.append((f"r{i}", decode_seq(r).decode()))
+    sks = ae.QuerySketch.make_batch(items, params)
+    tasks = [ae.make_pair(ref, sk, params) for sk in sks]
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        recs = ae.flush_pairs(tasks, params)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    assert sum(1 for r in recs if r.flag != 4) > n_pairs * 0.95
+    return n_pairs / best
+
+
 def _load_pinned() -> dict:
     """Recorded CPU baseline constants (PINNED_BASELINE.json): this host's
     burstable vCPUs swing 10-25x run to run, so the live vs_baseline ratio
@@ -337,6 +372,21 @@ def main() -> None:
             tpu / pinned["match_kernel_cpu_qps"], 2
         )
     print(json.dumps(kernel_line), flush=True)
+
+    # align-kernel line (VERDICT r4 item 7: track both kernels per round)
+    if os.environ.get("PHYLIGN_BENCH_ALIGN", "1") != "0":
+        pps = align_pairs_throughput()
+        align_line = {
+            "metric": "align-stage pairs/s (fused flush, 16384-pair pool, "
+            "150bp reads @1% mismatch)",
+            "value": round(pps, 1),
+            "unit": "pairs/s",
+        }
+        if pinned.get("align_pairs_cpu_pps"):
+            align_line["vs_pinned_baseline"] = round(
+                pps / pinned["align_pairs_cpu_pps"], 2
+            )
+        print(json.dumps(align_line), flush=True)
 
     # end-to-end pipeline line (TPU side only; CPU divisor = the recorded
     # pinned run at the same scale — see `--e2e` for a live CPU re-measure)

@@ -875,7 +875,12 @@ class Pipeline:
                             "bench": bench_cm, "mem": mem,
                         }
                     )
-                    if len(group) >= group_size:
+                    # flush the FIRST couple of batches early: their hit
+                    # totals establish the adaptive fetch-cap hint, so the
+                    # remaining dispatches fetch right-sized hit buffers
+                    # instead of the worst-case window
+                    eff = 2 if qs.hit_hint is None else group_size
+                    if len(group) >= eff:
                         flush_group()
                 flush_group()
             finally:

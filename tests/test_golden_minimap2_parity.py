@@ -23,6 +23,22 @@ AS 300 pins dp_max2 = 284 — a second locus differing by one deleted base
 300). The test plants exactly those secondary loci downstream of the primary
 window, so the engine's chain-alt probe -> secondary DP extension -> MAPQ
 pipeline must reproduce mm2's column 5 on every record.
+
+ALL optional tags are asserted too (NM ms AS nn tp cm s1 de rl on every
+record). s2 — the best overlapping secondary's CHAIN score — additionally
+pins the secondary locus's seeding structure: for records whose golden
+s2 > 0 the real genome held a competitor chaining to exactly that score.
+data/golden_s2_plants.json.xz stores, per such record, a planted secondary
+(a full-length copy of the read with interior mutations knocking out every
+minimizer outside one kept run, or — for the MAPQ-48 family — the
+one-base-deletion copy at a searched position) whose chain score under the
+sr chain formula equals the golden s2; the engine must then emit that s2,
+keep the golden MAPQ, and add no extra records. The plants were derived by
+an offline search against the engine's own chain scoring — the claim they
+carry is mm2-shape (the chain formula is mm2's, golden-verified via s1 on
+all records), not an independent oracle. A small set of targets
+(~75/1,690) has no reachable plant on the read's minimizer lattice; those
+records assert every tag except s2 (counted + bounded below).
 """
 
 import lzma
@@ -68,10 +84,19 @@ def _golden_records():
                 continue
             fields = line.split("\t")
             qname, flag, rname, pos, mapq, cigar = fields[:6]
+            tags = {t.split(":")[0]: t.split(":", 2)[2] for t in fields[11:]}
             recs.append(
-                (qname, int(flag), rname, int(pos), int(mapq), cigar, fields[9])
+                (
+                    qname, int(flag), rname, int(pos), int(mapq), cigar,
+                    fields[9], tags,
+                )
             )
     return recs
+
+
+#: optional tags asserted on EVERY record (s2 is plant-gated, see module
+#: docstring)
+_TAG_KEYS = ("NM", "ms", "AS", "nn", "tp", "cm", "s1", "de", "rl")
 
 
 @pytest.mark.skipif(not GOLDEN.exists(), reason="reference golden file absent")
@@ -82,10 +107,18 @@ def test_golden_minimap2_record_parity():
     rng = np.random.default_rng(7)
     bases = np.frombuffer(b"ACGT", np.uint8)
 
+    plants = {}
+    pf = Path(__file__).parent / "data" / "golden_s2_plants.json.xz"
+    if pf.exists():
+        import json
+
+        with lzma.open(pf, "rt") as f:
+            plants = json.load(f)
+
     sketches: dict[str, ae.QuerySketch] = {}
     tasks, expected = [], []
-    n_sub60 = 0
-    for i, (qname, flag, rname, pos, mapq, cigar, seq) in enumerate(recs):
+    n_sub60 = n_s2_planted = n_s2_skipped = 0
+    for i, (qname, flag, rname, pos, mapq, cigar, seq, tags) in enumerate(recs):
         ops = _parse_cigar(cigar)
         assert {op for _, op in ops} <= {"=", "X"} and sum(
             n for n, _ in ops
@@ -100,15 +133,40 @@ def test_golden_minimap2_record_parity():
         # plant at the golden POS when affordable so POS is compared exactly;
         # huge offsets get a varied synthetic one to keep contigs small
         p0 = pos - 1 if pos <= 3001 else 1500 + pos % 997
+        # rng draw order is LOAD-BEARING: the s2 plants were searched
+        # against exactly these flanks (three draws per record)
         flank_l = "".join(map(chr, rng.choice(bases, p0)))
         flank_r = "".join(map(chr, rng.choice(bases, 300)))
+        tail = "".join(map(chr, rng.choice(bases, 300)))
+        spec = plants.get(str(i))
+        s2t = int(tags.get("s2", "0"))
+        s2_checked = True
         # sub-60 golden MAPQ pins the secondary locus the real genome held
         # (see module docstring): plant it downstream of the primary
-        if mapq < 60:
+        if mapq == 0:
             n_sub60 += 1
-            sec = ref_seg if mapq == 0 else ref_seg[:75] + ref_seg[76:]
-            sec_tail = "".join(map(chr, rng.choice(bases, 300)))
-            contig = flank_l + ref_seg + flank_r + sec + sec_tail
+            contig = flank_l + ref_seg + flank_r + ref_seg + tail
+        elif mapq < 60:
+            n_sub60 += 1
+            if spec and "del" in spec:
+                x = int(spec["del"])
+                n_s2_planted += 1
+            else:
+                x = 75  # MAPQ parity only; chain score not calibrated
+                s2_checked = False
+                n_s2_skipped += 1
+            contig = (
+                flank_l + ref_seg + flank_r
+                + ref_seg[:x] + ref_seg[x + 1 :] + tail
+            )
+        elif s2t > 0:
+            if spec and "sec" in spec:
+                contig = flank_l + ref_seg + flank_r + spec["sec"] + tail
+                n_s2_planted += 1
+            else:
+                contig = flank_l + ref_seg + flank_r
+                s2_checked = False
+                n_s2_skipped += 1
         else:
             contig = flank_l + ref_seg + flank_r
         ref = opm.build_ref_index(
@@ -123,14 +181,29 @@ def test_golden_minimap2_record_parity():
             # agree — validates the strand bookkeeping of the reconstruction
             assert sk.seq == read
         tasks.append(ae.make_pair(ref, sk, params))
-        expected.append((qname, flag, rname, p0 + 1, mapq, cigar, seq))
+        expected.append(
+            (qname, flag, rname, p0 + 1, mapq, cigar, seq, tags, s2_checked)
+        )
     assert n_sub60 >= 50  # the golden set's MAPQ 48 / 0 families
+    if plants:
+        # the plant search reaches all but ~75 of the 1,690 s2>0 targets
+        assert n_s2_planted >= 1450
+        assert n_s2_skipped <= 120
 
     out = ae.flush_pairs(tasks, params)
-    assert len(out) == len(expected)
+    assert len(out) == len(expected)  # no plant may add records
     mismatches = []
-    for rec, (qname, flag, rname, pos, mapq, cigar, seq) in zip(out, expected):
+    for rec, (qname, flag, rname, pos, mapq, cigar, seq, tags, s2c) in zip(
+        out, expected
+    ):
         got = (rec.qname, rec.flag, rec.rname, rec.pos, rec.mapq, rec.cigar, rec.seq)
         if got != (qname, flag, rname, pos, mapq, cigar, seq):
             mismatches.append((got, (qname, flag, rname, pos, mapq, cigar, seq)))
-    assert not mismatches, mismatches[:5]
+            continue
+        gt = {t.split(":")[0]: t.split(":", 2)[2] for t in rec.tags}
+        for k in _TAG_KEYS:
+            if k in tags and gt.get(k) != tags[k]:
+                mismatches.append((qname, rname, k, gt.get(k), tags[k]))
+        if s2c and "s2" in tags and gt.get("s2") != tags["s2"]:
+            mismatches.append((qname, rname, "s2", gt.get("s2"), tags["s2"]))
+    assert not mismatches, (len(mismatches), mismatches[:5])
