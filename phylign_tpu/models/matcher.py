@@ -175,10 +175,11 @@ class DeviceQueryHashes:
     host copy for the fallback paths (segmented queries, huge doc counts,
     top-k window overflow re-fetch)."""
 
-    hi: jax.Array  # uint32 [Q, K, H]
-    lo: jax.Array  # uint32 [Q, K, H]
-    n_kmers: np.ndarray  # int32 [Q] host
-    raw: list[np.ndarray]  # per-query uint64 [n, H] host
+    hi: jax.Array  # uint32 [Q_pad, K, H] (query axis q_bucket-padded)
+    lo: jax.Array  # uint32 [Q_pad, K, H]
+    n_kmers: np.ndarray  # int32 [Q_pad] host (padding rows = 0)
+    raw: list[np.ndarray]  # per-query uint64 [n, H] host (REAL queries only)
+    q_real: int = -1  # real query count (<= Q_pad); results slice to this
     # device-resident twins, uploaded once per chunk: nk is constant, and
     # the integer cut vector depends only on (nk, threshold) — NOT on the
     # batch — so neither needs a per-batch H2D round trip
@@ -201,26 +202,34 @@ class DeviceQueryHashes:
 
     @classmethod
     def build(
-        cls, raw: list[np.ndarray], k_bucket: int = 64
+        cls, raw: list[np.ndarray], k_bucket: int = 64, q_bucket: int = 1024
     ) -> "DeviceQueryHashes":
-        nk = np.array([r.shape[0] for r in raw], np.int32)
+        """``q_bucket`` pads the query axis so read sets of similar size
+        share compiled device programs (Q is a static shape: an unpadded Q
+        would re-jit every per-batch program for every new read set).
+        Padding rows carry nk=0, whose _int_cut is unreachable — they can
+        never emit hits, and callers slice results back to q_real."""
+        q_real = len(raw)
+        qp = round_up(max(1, q_real), q_bucket)
+        nk = np.zeros(qp, np.int32)
+        nk[:q_real] = [r.shape[0] for r in raw]
         h = raw[0].shape[1] if raw else 1
         kp = round_up(int(nk.max(initial=1)), k_bucket)
-        hi = np.zeros((len(raw), kp, h), np.uint32)
-        lo = np.zeros((len(raw), kp, h), np.uint32)
+        hi = np.zeros((qp, kp, h), np.uint32)
+        lo = np.zeros((qp, kp, h), np.uint32)
         if raw:
             # one concatenate + one 2-D scatter (a python loop over tens of
             # thousands of reads costs ~0.3 s per query set)
             cat = np.concatenate(raw)
-            lens = nk.astype(np.int64)
-            rows = np.repeat(np.arange(len(raw)), lens)
+            lens = nk.astype(np.int64)  # padded rows repeat 0 times
+            rows = np.repeat(np.arange(qp), lens)
             cols = np.arange(len(cat)) - np.repeat(
                 np.cumsum(lens) - lens, lens
             )
             hi[rows, cols] = (cat >> np.uint64(32)).astype(np.uint32)
             lo[rows, cols] = (cat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi_d, lo_d = jax.device_put((hi, lo))  # one batched H2D round trip
-        return cls(hi=hi_d, lo=lo_d, n_kmers=nk, raw=raw)
+        return cls(hi=hi_d, lo=lo_d, n_kmers=nk, raw=raw, q_real=q_real)
 
     @property
     def nbytes(self) -> int:
@@ -692,7 +701,8 @@ class Matcher:
             return None
         kk = min(d, round_up(min(topn + 33, d), 32))
         nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
-        full = len(dq.n_kmers) * min(kk, topn + 12)
+        q_real = dq.q_real if dq.q_real >= 0 else len(dq.n_kmers)
+        full = q_real * min(kk, topn + 12)
         cap = full if cap is None else max(256, min(int(cap), full))
         out_dev = _hash_topk_flat(
             self.words, dq.hi, dq.lo, nk_d, cut_d, s=self.signature_size,
@@ -724,15 +734,17 @@ class Matcher:
         rows_of = lambda q: rows_from_hashes(  # noqa: E731
             dq.raw[q], self.signature_size
         )
+        q_real = dq.q_real if dq.q_real >= 0 else len(dq.n_kmers)
         out = jax.device_get(out_dev) if fetched is None else fetched
         flat = out[:cap]
         n_keep = out[cap : cap + len(dq.n_kmers)].astype(np.int32)
         total = out[-1]
         if int(total) <= cap:
-            return self._window_hits_flat(
+            hits, nk = self._window_hits_flat(
                 flat, n_keep, rows_of, threshold, k_max, kk,
                 device_lock=device_lock,
             )
+            return hits[:q_real], nk[:q_real]
         lock = device_lock if device_lock is not None else contextlib.nullcontext()
         with lock:
             nk_d, cut_d = dq.nk_dev(), dq.cut_dev(threshold)
@@ -741,10 +753,11 @@ class Matcher:
                 s=self.signature_size, pad_row=self.pad_row, kk=kk, d=d,
             )
         vals, idx, n_keep = jax.device_get(pend)
-        return self._window_hits(
+        hits, nk = self._window_hits(
             vals, idx, n_keep, rows_of, threshold, k_max, kk,
             device_lock=device_lock,
         )
+        return hits[:q_real], nk[:q_real]
 
     def score_hits_hashes(
         self,
@@ -780,7 +793,8 @@ class Matcher:
         # flat-compacted fetch: cap sized for the common few-hit regime;
         # scatter overflow (total > cap, e.g. every query carrying a full
         # tie window) falls back to the dense window fetch
-        cap = len(dq.n_kmers) * min(kk, topn + 12)
+        q_real = dq.q_real if dq.q_real >= 0 else len(dq.n_kmers)
+        cap = q_real * min(kk, topn + 12)
         out = jax.device_get(
             _hash_topk_flat(
                 self.words, dq.hi, dq.lo, nk_d, cut_d,
@@ -792,9 +806,10 @@ class Matcher:
         n_keep = out[cap : cap + len(dq.n_kmers)].astype(np.int32)
         total = out[-1]
         if int(total) <= cap:
-            return self._window_hits_flat(
+            hits, nk = self._window_hits_flat(
                 flat, n_keep, rows_of, threshold, k_max, kk
             )
+            return hits[:q_real], nk[:q_real]
         vals, idx, n_keep = jax.device_get(
             _hash_topk(
                 self.words,
@@ -808,7 +823,7 @@ class Matcher:
                 d=d,
             )
         )
-        return self._window_hits(
+        hits, nk = self._window_hits(
             vals,
             idx,
             n_keep,
@@ -817,6 +832,7 @@ class Matcher:
             k_max,
             kk,
         )
+        return hits[:q_real], nk[:q_real]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
