@@ -188,12 +188,25 @@ class RefIndex:
         return self._pack4
 
     def uniq_table(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(unique_hashes, start_offset, count) over sort_hash; cached."""
+        """(unique_hashes, start_offset, count) over sort_hash; cached.
+
+        sort_hash is ALREADY sorted (build_ref_index orders by hash), so
+        run boundaries come from one np.diff pass — np.unique would pay a
+        redundant argsort per reference, the measured host hot spot of the
+        align stage at 10k-read scale (~1.6 ms x thousands of genomes)."""
         if self._uniq is None:
-            uh, us, uc = np.unique(
-                self.sort_hash, return_index=True, return_counts=True
-            )
-            object.__setattr__(self, "_uniq", (uh, us.astype(np.int64), uc))
+            h = self.sort_hash
+            if h.shape[0] == 0:
+                empty = np.zeros(0, np.int64)
+                object.__setattr__(
+                    self, "_uniq", (h, empty, empty)
+                )
+                return self._uniq
+            starts = np.concatenate(
+                ([0], np.flatnonzero(h[1:] != h[:-1]) + 1)
+            ).astype(np.int64)
+            counts = np.diff(np.concatenate((starts, [h.shape[0]])))
+            object.__setattr__(self, "_uniq", (h[starts], starts, counts))
         return self._uniq
 
     def mid_occ(
