@@ -111,11 +111,12 @@ def open_asm_cache(
                     if bin_p.stat().st_size
                     else np.zeros(0, np.uint8)
                 )
+                os.utime(meta_p)  # LRU stamp for utils.diskbudget (inside
+                # the guard: a concurrent eviction between the map and the
+                # stamp must fall through to rebuild, not crash)
             except OSError:
-                pass  # evicted between the existence check and the map:
-                # fall through to rebuild
+                pass
             else:
-                os.utime(meta_p)  # LRU stamp for utils.diskbudget
                 return AsmCache(blob, meta["genomes"], meta["order"])
     cache_dir.mkdir(parents=True, exist_ok=True)
     order: list[str] = []

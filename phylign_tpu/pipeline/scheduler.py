@@ -85,6 +85,13 @@ class RamPool:
             self.free += mb
             self.cv.notify_all()
 
+    def available(self) -> int:
+        """Snapshot of the free budget (advisory: another thread may take
+        it immediately after; callers use it to AVOID blocking while they
+        hold resources only they can release, not as a reservation)."""
+        with self.cv:
+            return self.free
+
 
 @dataclass(order=True)
 class _QJob:

@@ -359,6 +359,24 @@ class Pipeline:
             self._query_cache[key] = qs
         return qs
 
+    def _commit_match_output(
+        self, batch: str, stem: str, qs: "QuerySet",
+        hits_u, nk_u, doc_names,
+    ) -> Path:
+        """Write + atomically commit one batch's 03_match file and mark the
+        manifest — the ONE place encoding that contract (shared by the
+        job path and the pipelined path, which must stay byte-identical
+        for manifest-based fallback/resume)."""
+        out = self.match_path(batch, stem)
+        tmp, commit = atomic_write_via(out)
+        with xopen_write(tmp) as f:
+            self._write_match_unique(
+                f, qs, hits_u, nk_u, doc_names, keep=self.cfg.nb_best_hits
+            )
+        commit()
+        self.manifest.mark("match", f"{batch}____{stem}", [str(out)])
+        return out
+
     def match_one_batch(self, batch: str, stem: str) -> Path:
         out = self.match_path(batch, stem)
         if self.manifest.done("match", f"{batch}____{stem}", [str(out)]):
@@ -367,14 +385,9 @@ class Pipeline:
             didx = self._load_index(batch)
             qs = self._query_set(stem, didx.term_size, didx.num_hashes)
             hits_u, nk_u = self._score_batch(didx, qs)
-            tmp, commit = atomic_write_via(out)
-            with xopen_write(tmp) as f:
-                self._write_match_unique(
-                    f, qs, hits_u, nk_u, didx.doc_names,
-                    keep=self.cfg.nb_best_hits,
-                )
-            commit()
-        self.manifest.mark("match", f"{batch}____{stem}", [str(out)])
+            self._commit_match_output(
+                batch, stem, qs, hits_u, nk_u, didx.doc_names
+            )
         if (
             self.cfg.index_load_mode != "mem-stream"
             and not self.cfg.keep_cobs_indexes
@@ -602,6 +615,7 @@ class Pipeline:
                 nk_u.extend(int(x) for x in nk)
         finally:
             if st["transient"]:
+                st["transient"] = False  # abort paths must not double-release
                 if st["key"] is not None and self._index_cache.put(
                     st["key"], matcher, st["hbm_mb"]
                 ):
@@ -771,14 +785,31 @@ class Pipeline:
                 todo.append(b)
         if not todo:
             return [outs[b] for b in batches]
+        import threading
+
         drop_cache = (
             self.cfg.index_load_mode != "mem-stream"
             and not self.cfg.keep_cobs_indexes
         )
 
-        def load_one(b: str):
+        # FIFO turnstile for RAM acquisition: prefetch workers reserve in
+        # BATCH order, so an out-of-order worker can never hold budget the
+        # in-order consumer is waiting on (RamPool wakeups are unordered).
+        # A blocked worker at the turnstile holds nothing.
+        turn = threading.Condition()
+        next_turn = [0]
+
+        def load_one(i: int, b: str):
             mem = self._index_mem_mb(b)
-            self.sched.ram.acquire(mem)
+            with turn:
+                while i != next_turn[0]:
+                    turn.wait()
+            try:
+                self.sched.ram.acquire(mem)
+            finally:
+                with turn:  # always pass the turn, even on interrupt
+                    next_turn[0] += 1
+                    turn.notify_all()
             try:
                 return self._load_index(b), mem
             except BaseException:
@@ -787,9 +818,18 @@ class Pipeline:
 
         group: list[dict] = []
 
-        def release_item(it: dict) -> None:
-            it["bench"].__exit__(None, None, None)
-            self.sched.ram.release(it["mem"])
+        def abort_item(it: dict) -> None:
+            """Release what an unfinished group item still holds (the RAM
+            reservation is returned at dispatch time, so only the
+            transient-HBM reservation and the bench context remain)."""
+            st = it.get("st") or {}
+            if st.get("transient"):
+                st["transient"] = False
+                self.sched.hbm.release(st["hbm_mb"])
+            cm = it.get("bench")
+            if cm is not None:
+                it["bench"] = None
+                cm.__exit__(None, None, None)
 
         def flush_group() -> None:
             if not group:
@@ -803,45 +843,39 @@ class Pipeline:
                     if kind == "pending":
                         keys.append((gi, si))
                         devs.append(payload[1])
+            gi = 0
             try:
                 fetched_all = (
                     dict(zip(keys, jax.device_get(devs))) if devs else {}
                 )
-            except BaseException:
-                for it in group:
-                    if it["st"].get("transient"):
-                        self.sched.hbm.release(it["st"]["hbm_mb"])
-                    release_item(it)
-                group.clear()
-                raise
-            for gi, it in enumerate(group):
-                b = it["batch"]
-                try:
+                for gi, it in enumerate(group):
+                    b = it["batch"]
                     fetched = {
                         si: arr
                         for (g2, si), arr in fetched_all.items()
                         if g2 == gi
                     }
+                    # _score_batch_end releases the item's transient HBM in
+                    # its own finally (marking st["transient"] False), so
+                    # the except arm below never double-releases
                     hits_u, nk_u = self._score_batch_end(
                         it["st"], fetched=fetched or None, qs=it["qs"]
                     )
-                    out = self.match_path(b, stem)
-                    tmp, commit = atomic_write_via(out)
-                    with xopen_write(tmp) as f:
-                        self._write_match_unique(
-                            f, it["qs"], hits_u, nk_u,
-                            it["didx"].doc_names,
-                            keep=self.cfg.nb_best_hits,
-                        )
-                    commit()
-                    self.manifest.mark("match", f"{b}____{stem}", [str(out)])
-                    outs[b] = out
-                finally:
-                    release_item(it)
-                if drop_cache:
-                    it.pop("didx", None)  # release the mmap before unlink
-                    it.pop("st", None)
-                    self.drop_index_cache(b)
+                    outs[b] = self._commit_match_output(
+                        b, stem, it["qs"], hits_u, nk_u, it["doc_names"]
+                    )
+                    cm = it.pop("bench", None)
+                    it["bench"] = None
+                    if cm is not None:
+                        cm.__exit__(None, None, None)
+                    if drop_cache:
+                        it.pop("st", None)
+                        self.drop_index_cache(b)
+            except BaseException:
+                for it in group[gi:]:
+                    abort_item(it)
+                group.clear()
+                raise
             group.clear()
 
         lookahead = max(2 * group_size, 4)
@@ -852,29 +886,60 @@ class Pipeline:
             futs: dict[str, object] = {}
             try:
                 for i, b in enumerate(todo):
-                    for nb in todo[i : i + lookahead]:
+                    for j in range(i, min(i + lookahead, len(todo))):
+                        nb = todo[j]
                         if nb not in futs:
-                            futs[nb] = pool.submit(load_one, nb)
+                            futs[nb] = pool.submit(load_one, j, nb)
                     didx, mem = futs.pop(b).result()
-                    bench_cm = benchmark(
-                        self.logs, "run_cobs", f"{b}____{stem}"
-                    )
-                    bench_cm.__enter__()
                     try:
                         qs = self._query_set(
                             stem, didx.term_size, didx.num_hashes
                         )
-                        st = self._score_batch_begin(didx, qs)
-                    except BaseException:
-                        bench_cm.__exit__(None, None, None)
+                        # never enter a blocking HBM acquire while holding
+                        # dispatched-but-unflushed work only THIS thread can
+                        # release: flush first if the pool looks too tight
+                        # (advisory check; after a flush the only remaining
+                        # holders release independently, so a block is safe)
+                        if group:
+                            from phylign_tpu.models.matcher import (
+                                device_index_bytes,
+                            )
+
+                            need = max(
+                                1,
+                                device_index_bytes(didx, mesh=None)
+                                // 1_000_000,
+                            )
+                            chunk_budget = max(
+                                256, self._hbm_transient_mb - 1536
+                            )
+                            need = min(need, chunk_budget)
+                            if self.sched.hbm.available() < need:
+                                flush_group()
+                        bench_cm = benchmark(
+                            self.logs, "run_cobs", f"{b}____{stem}"
+                        )
+                        bench_cm.__enter__()
+                        try:
+                            st = self._score_batch_begin(didx, qs)
+                        except BaseException:
+                            bench_cm.__exit__(None, None, None)
+                            raise
+                    finally:
+                        # the dispatch (device_put) has consumed the host
+                        # index bytes; the decoded copy is dropped with
+                        # ``didx`` below, so return the reservation now —
+                        # holding it across group flushes is what made the
+                        # prefetchers deadlockable
                         self.sched.ram.release(mem)
-                        raise
                     group.append(
                         {
-                            "batch": b, "didx": didx, "qs": qs, "st": st,
-                            "bench": bench_cm, "mem": mem,
+                            "batch": b, "qs": qs, "st": st,
+                            "bench": bench_cm,
+                            "doc_names": didx.doc_names,
                         }
                     )
+                    del didx  # drop the mmap/decoded words reference
                     # flush the FIRST couple of batches early: their hit
                     # totals establish the adaptive fetch-cap hint, so the
                     # remaining dispatches fetch right-sized hit buffers
@@ -883,6 +948,11 @@ class Pipeline:
                     if len(group) >= eff:
                         flush_group()
                 flush_group()
+            except BaseException:
+                for it in group:
+                    abort_item(it)
+                group.clear()
+                raise
             finally:
                 for f in futs.values():  # unconsumed prefetch reservations
                     try:

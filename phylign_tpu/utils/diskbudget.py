@@ -99,6 +99,7 @@ def enforce_budget(dirs: Iterable[Path], max_bytes: int) -> int:
     for e in sorted(entries, key=lambda e: e.stamp):
         if total <= max_bytes:
             break
+        gone = True
         for p in e.paths:
             try:
                 if p.is_dir():
@@ -107,6 +108,16 @@ def enforce_budget(dirs: Iterable[Path], max_bytes: int) -> int:
                     p.unlink(missing_ok=True)
             except OSError:
                 pass
+            if p.exists():  # deletion silently failed (perms, NFS, ...)
+                gone = False
+        if not gone:
+            # do NOT count undeletable bytes as freed — otherwise the
+            # budget reports success while the disk stays over it
+            log.warning(
+                "disk budget: could not evict %s; budget may be exceeded",
+                e.paths[0],
+            )
+            continue
         total -= e.size
         evicted += e.size
         log.info(
