@@ -813,6 +813,38 @@ def make_pairs_batch(
     ]
 
 
+def make_pairs_multi(
+    groups: "list[tuple[opm.RefIndex, list[QuerySketch]]]",
+    params: AlignParams,
+) -> list[PairTask]:
+    """make_pairs_batch over MANY genomes in ONE native anchor-collection
+    call (ops.minimizer.collect_anchors_multi): amortizes the per-genome
+    call overhead that dominates align seeding when a run touches
+    thousands of small candidate genomes."""
+    if not groups:
+        return []
+    native_groups = [
+        (
+            ref,
+            [sk.mh for sk in sks],
+            [sk.mp for sk in sks],
+            [sk.ms for sk in sks],
+            [len(sk.codes) for sk in sks],
+            params.occ_cap(ref),
+        )
+        for ref, sks in groups
+    ]
+    per_q, rep = opm.collect_anchors_multi(native_groups, params.k)
+    tasks: list[PairTask] = []
+    i = 0
+    for ref, sks in groups:
+        for sk in sks:
+            p, m = per_q[i]
+            tasks.append(PairTask(sk, ref, p, m, int(rep[i])))
+            i += 1
+    return tasks
+
+
 MAX_EXT_CELLS = 1 << 20  # bound on P * L at band 128 (plane ~512 MB);
 # wider bands shrink the per-call pair count proportionally
 
@@ -2491,6 +2523,19 @@ def align_batches_pooled(
             # per-segment ref pin budget: the coordinator holds at most
             # queue-size + pool segments alive, so each stays modest
             ref_budget = 128 << 20
+            # genomes accumulate into ONE segmented anchor-collection call
+            # (make_pairs_multi) instead of one native call per genome —
+            # the per-call overhead dominated seeding at 10k-read scale
+            pending: list[tuple] = []
+            pend_q = 0
+
+            def drain_pending():
+                nonlocal pend_q
+                if pending:
+                    seg.extend(make_pairs_multi(pending, params))
+                    pending.clear()
+                    pend_q = 0
+
             for rname, contigs in iter_assemblies_cached(
                 tar_path, set(rname_to_q), asm_cache_dir
             ):
@@ -2508,11 +2553,19 @@ def align_batches_pooled(
                             qi, QuerySketch.make(fq.qname, fq.seq, params)
                         )
                     sks.append(sk)
-                seg.extend(make_pairs_batch(ref, sks, params))
+                pending.append((ref, sks))
+                pend_q += len(sks)
                 seg_ref_bytes += ref.codes.nbytes + 2 * ref.sort_hash.nbytes
+                if (
+                    pend_q >= 512
+                    or pend_q + len(seg) >= pair_chunk
+                    or seg_ref_bytes >= ref_budget
+                ):
+                    drain_pending()
                 if len(seg) >= pair_chunk or seg_ref_bytes >= ref_budget:
                     seg_q.put(_PoolSeg(bi, seg, False))
                     seg, seg_ref_bytes = [], 0
+            drain_pending()
             seg_q.put(_PoolSeg(bi, seg, True))
         except BaseException as e:  # surfaced by the coordinator
             errors.append(e)

@@ -159,6 +159,18 @@ def get_lib() -> ctypes.CDLL | None:
         _i64p, _i32p, _i32p, _i64p,  # m_lo, m_np, m_nm, gcount
         _i64p,  # rep_len
     ]
+    if hasattr(lib, "anchors_count2_seg"):
+        lib.anchors_count2_seg.restype = ctypes.c_int64
+        lib.anchors_count2_seg.argtypes = [
+            _u64p, _i64p, _i64p,  # uh, us, ucnt (concatenated)
+            _i64p, _i64p,  # useg_off, useg_n (per query)
+            _u8p, _i64p,  # sort_strand (concat), sseg_off (per query)
+            _u64p, _i64p, _u8p, _i64p,  # qh, qpos, qstrand, qoff
+            ctypes.c_int64,  # n_queries
+            _i64p, ctypes.c_int32,  # max_occ (per query), k
+            _i64p, _i32p, _i32p, _i64p,  # m_lo, m_np, m_nm, gcount
+            _i64p,  # rep_len
+        ]
     lib.anchors_fill.restype = None
     lib.anchors_fill.argtypes = [
         _i32p, _u8p,  # sort_pos, sort_strand
@@ -561,6 +573,85 @@ def native_collect_anchors(
         p(qh, ctypes.c_uint64), p(qpos, ctypes.c_int64), _u8ptr(qstrand),
         p(qoff, ctypes.c_int64), nq,
         int(max_occ), int(k),
+        p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
+        p(m_nm, ctypes.c_int32), p(gcount, ctypes.c_int64),
+        p(rep_len, ctypes.c_int64),
+    )
+    bounds = np.zeros(2 * nq + 1, np.int64)
+    np.cumsum(gcount, out=bounds[1:])
+    out_rpos = np.empty(total, np.int32)
+    out_qpos = np.empty(total, np.int32)
+    if total:
+        lib.anchors_fill(
+            p(sort_pos, ctypes.c_int32), _u8ptr(sort_strand),
+            p(qpos, ctypes.c_int64), _u8ptr(qstrand),
+            p(qoff, ctypes.c_int64), p(qlen64, ctypes.c_int64), nq,
+            int(k),
+            p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
+            p(m_nm, ctypes.c_int32), p(bounds, ctypes.c_int64),
+            p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
+        )
+    return out_rpos, out_qpos, bounds, rep_len
+
+
+def native_collect_anchors_seg(
+    uh: np.ndarray,
+    us: np.ndarray,
+    ucnt: np.ndarray,
+    useg_off: np.ndarray,
+    useg_n: np.ndarray,
+    sort_pos: np.ndarray,
+    sort_strand: np.ndarray,
+    sseg_off: np.ndarray,
+    qh: np.ndarray,
+    qpos: np.ndarray,
+    qstrand: np.ndarray,
+    qoff: np.ndarray,
+    qlen: np.ndarray,
+    max_occ: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+    """Segmented anchor collection: MANY (ref table, query) groups in one
+    native call. Table arrays are the refs' uniq/sort tables concatenated;
+    per-query useg_off/useg_n/sseg_off/max_occ select the query's ref
+    segment. Output contract identical to native_collect_anchors. None
+    without the lib (or a lib predating the symbol)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "anchors_count2_seg"):
+        return None
+    nq = len(qlen)
+    nm = qh.shape[0]
+    uh = np.ascontiguousarray(uh, np.uint64)
+    us = np.ascontiguousarray(us, np.int64)
+    ucnt = np.ascontiguousarray(ucnt, np.int64)
+    useg_off = np.ascontiguousarray(useg_off, np.int64)
+    useg_n = np.ascontiguousarray(useg_n, np.int64)
+    sort_pos = np.ascontiguousarray(sort_pos, np.int32)
+    sort_strand = np.ascontiguousarray(sort_strand, np.uint8)
+    sseg_off = np.ascontiguousarray(sseg_off, np.int64)
+    qh = np.ascontiguousarray(qh, np.uint64)
+    qpos = np.ascontiguousarray(qpos, np.int64)
+    qstrand = np.ascontiguousarray(qstrand, np.uint8)
+    qoff = np.ascontiguousarray(qoff, np.int64)
+    qlen64 = np.ascontiguousarray(qlen, np.int64)
+    max_occ = np.ascontiguousarray(max_occ, np.int64)
+
+    m_lo = np.empty(nm, np.int64)
+    m_np = np.empty(nm, np.int32)
+    m_nm = np.empty(nm, np.int32)
+    gcount = np.zeros(2 * nq, np.int64)
+    rep_len = np.zeros(nq, np.int64)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    total = lib.anchors_count2_seg(
+        p(uh, ctypes.c_uint64), p(us, ctypes.c_int64), p(ucnt, ctypes.c_int64),
+        p(useg_off, ctypes.c_int64), p(useg_n, ctypes.c_int64),
+        _u8ptr(sort_strand), p(sseg_off, ctypes.c_int64),
+        p(qh, ctypes.c_uint64), p(qpos, ctypes.c_int64), _u8ptr(qstrand),
+        p(qoff, ctypes.c_int64), nq,
+        p(max_occ, ctypes.c_int64), int(k),
         p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
         p(m_nm, ctypes.c_int32), p(gcount, ctypes.c_int64),
         p(rep_len, ctypes.c_int64),

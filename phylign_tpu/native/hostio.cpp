@@ -488,6 +488,78 @@ int64_t anchors_count2(const uint64_t* uh, const int64_t* us,
   return total;
 }
 
+// Segmented anchors_count2: MANY (ref table, query set) groups in ONE call
+// (the per-genome python/ctypes call overhead dominates align seeding at
+// 10k-read scale — thousands of candidate genomes per run). Per query q:
+// its ref's unique table is uh/us/ucnt[useg_off[q] .. +useg_n[q]) and its
+// sort arrays start at sseg_off[q]; m_lo receives GLOBAL sort offsets, so
+// the existing anchors_fill consumes the scratch unchanged. max_occ is
+// per-query (presets can derive it per ref index).
+int64_t anchors_count2_seg(const uint64_t* uh, const int64_t* us,
+                           const int64_t* ucnt,
+                           const int64_t* useg_off, const int64_t* useg_n,
+                           const uint8_t* sort_strand,
+                           const int64_t* sseg_off,
+                           const uint64_t* qh, const int64_t* qpos,
+                           const uint8_t* qstrand,
+                           const int64_t* qoff, int64_t n_queries,
+                           const int64_t* max_occ, int32_t k,
+                           int64_t* m_lo, int32_t* m_np, int32_t* m_nm,
+                           int64_t* gcount /* [2*n_queries], zeroed */,
+                           int64_t* rep_len /* [n_queries], zeroed */) {
+  std::vector<int64_t> partial(16, 0);
+  std::atomic<int> tix{0};
+  parallel_ranges(n_queries, 256, [&](int64_t qb, int64_t qe) {
+    int64_t total = 0;
+    for (int64_t q = qb; q < qe; q++) {
+      const uint64_t* uhq = uh + useg_off[q];
+      const int64_t* usq = us + useg_off[q];
+      const int64_t* ucq = ucnt + useg_off[q];
+      int64_t nu = useg_n[q];
+      int64_t sbase = sseg_off[q];
+      int64_t occ_cap = max_occ[q];
+      int64_t rep_st = -1, rep_en = -1;
+      for (int64_t m = qoff[q]; m < qoff[q + 1]; m++) {
+        uint64_t h = qh[m];
+        const uint64_t* it = std::lower_bound(uhq, uhq + nu, h);
+        int64_t np = 0, nm = 0, lo = 0;
+        if (it != uhq + nu && *it == h) {
+          int64_t u = it - uhq;
+          int64_t cnt = ucq[u];
+          if (cnt > occ_cap) {
+            int64_t st = qpos[m], en = st + k;
+            if (st > rep_en) {
+              if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
+              rep_st = st;
+              rep_en = en;
+            } else if (en > rep_en) {
+              rep_en = en;
+            }
+          } else if (cnt > 0) {
+            lo = usq[u] + sbase;  // GLOBAL sort offset for anchors_fill
+            uint8_t qs = qstrand[m];
+            for (int64_t o = lo; o < lo + cnt; o++) {
+              if (sort_strand[o] != qs) nm++;
+              else np++;
+            }
+          }
+        }
+        m_lo[m] = lo;
+        m_np[m] = np;
+        m_nm[m] = nm;
+        gcount[2 * q] += np;
+        gcount[2 * q + 1] += nm;
+        total += np + nm;
+      }
+      if (rep_st >= 0) rep_len[q] += rep_en - rep_st;
+    }
+    partial[(size_t)(tix++ & 15)] += total;
+  });
+  int64_t total = 0;
+  for (int64_t p : partial) total += p;
+  return total;
+}
+
 void anchors_fill(const int32_t* sort_pos, const uint8_t* sort_strand,
                   const int64_t* qpos, const uint8_t* qstrand,
                   const int64_t* qoff, const int64_t* qlen, int64_t n_queries,

@@ -427,6 +427,87 @@ def collect_anchors_batch(
     return out, rep
 
 
+def collect_anchors_multi(
+    groups: "list[tuple[RefIndex, list, list, list, list, int]]",
+    k: int,
+) -> tuple[list[tuple[Anchors, Anchors]], np.ndarray]:
+    """Anchor collection for MANY (ref, query set) groups in ONE native
+    call (hostio.cpp anchors_count2_seg): per-genome python/ctypes call
+    overhead dominates align seeding at 10k-read scale, where a run
+    touches thousands of small candidate genomes.
+
+    groups: (ref, q_hashes, q_poss, q_strands, q_lens, max_occ) per
+    genome. Returns per-query (plus, minus) anchors in group-then-query
+    order plus the concatenated rep_len array — identical to running
+    collect_anchors_batch per group (the fallback when the native symbol
+    is unavailable)."""
+    from phylign_tpu import native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "anchors_count2_seg"):
+        out: list[tuple[Anchors, Anchors]] = []
+        reps: list[np.ndarray] = []
+        for ref, qh, qp, qs, ql, mo in groups:
+            o, r = collect_anchors_batch(ref, qh, qp, qs, ql, mo)
+            out.extend(o)
+            reps.append(r)
+        return out, (
+            np.concatenate(reps) if reps else np.zeros(0, np.int64)
+        )
+
+    uh_l, us_l, uc_l, sp_l, ss_l = [], [], [], [], []
+    useg_off, useg_n, sseg_off, mo_l = [], [], [], []
+    qh_l, qp_l, qs_l, ql_l = [], [], [], []
+    u_base = s_base = 0
+    for ref, qhs, qps, qss, qls, mo in groups:
+        uh, us, ucnt = ref.uniq_table()
+        uh_l.append(uh)
+        us_l.append(us)
+        uc_l.append(ucnt)
+        sp_l.append(ref.sort_pos)
+        ss_l.append(ref.sort_strand)
+        nq_g = len(qls)
+        useg_off += [u_base] * nq_g
+        useg_n += [len(uh)] * nq_g
+        sseg_off += [s_base] * nq_g
+        mo_l += [int(mo)] * nq_g
+        qh_l += list(qhs)
+        qp_l += [np.asarray(p, np.int64) for p in qps]
+        qs_l += list(qss)
+        ql_l += list(qls)
+        u_base += len(uh)
+        s_base += len(ref.sort_pos)
+    nq = len(ql_l)
+    if nq == 0:
+        return [], np.zeros(0, np.int64)
+    sizes = np.array([len(h) for h in qh_l], np.int64)
+    qoff = np.concatenate(([0], np.cumsum(sizes)))
+    nat = native.native_collect_anchors_seg(
+        np.concatenate(uh_l) if uh_l else np.zeros(0, np.uint64),
+        np.concatenate(us_l) if us_l else np.zeros(0, np.int64),
+        np.concatenate(uc_l) if uc_l else np.zeros(0, np.int64),
+        np.asarray(useg_off, np.int64), np.asarray(useg_n, np.int64),
+        np.concatenate(sp_l) if sp_l else np.zeros(0, np.int32),
+        np.concatenate(ss_l) if ss_l else np.zeros(0, np.uint8),
+        np.asarray(sseg_off, np.int64),
+        np.concatenate(qh_l) if qh_l else np.zeros(0, np.uint64),
+        np.concatenate(qp_l) if qp_l else np.zeros(0, np.int64),
+        np.concatenate(qs_l) if qs_l else np.zeros(0, np.uint8),
+        qoff, np.asarray(ql_l, np.int64), np.asarray(mo_l, np.int64), k,
+    )
+    assert nat is not None  # guarded by the hasattr check above
+    rp_s, qp_s, bounds, rep = nat
+    out = []
+    bl = bounds.tolist()
+    for q in range(nq):
+        sl_p = slice(bl[2 * q], bl[2 * q + 1])
+        sl_m = slice(bl[2 * q + 1], bl[2 * q + 2])
+        out.append(
+            (Anchors(rp_s[sl_p], qp_s[sl_p]), Anchors(rp_s[sl_m], qp_s[sl_m]))
+        )
+    return out, rep
+
+
 def collect_anchors(
     ref: RefIndex,
     q_hash: np.ndarray,
