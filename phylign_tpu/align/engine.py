@@ -2523,14 +2523,45 @@ def align_batches_pooled(
             # per-segment ref pin budget: the coordinator holds at most
             # queue-size + pool segments alive, so each stays modest
             ref_budget = 128 << 20
-            # genomes accumulate into ONE segmented anchor-collection call
-            # (make_pairs_multi) instead of one native call per genome —
-            # the per-call overhead dominated seeding at 10k-read scale
+            # genomes accumulate into batched native calls — ONE ref
+            # sketching call (build_ref_index_batch) and ONE segmented
+            # anchor-collection call (make_pairs_multi) per ~64 genomes /
+            # 512 queries, instead of two native calls per genome: the
+            # per-call overhead dominated seeding at 10k-read scale
             pending: list[tuple] = []
             pend_q = 0
+            gbuf: list[tuple[str, list]] = []
+            gbuf_q = 0
+
+            def flush_gbuf():
+                nonlocal pend_q, seg_ref_bytes, gbuf_q
+                if not gbuf:
+                    return
+                refs = opm.build_ref_index_batch(
+                    gbuf, params.k, params.w, hpc=params.hpc
+                )
+                for (rname2, _), ref in zip(gbuf, refs):
+                    sks = []
+                    for qi in rname_to_q[rname2]:
+                        sk = sketch_cache.get(qi)
+                        if sk is None:
+                            fq = queries[qi]
+                            sk = sketch_cache.setdefault(
+                                qi,
+                                QuerySketch.make(fq.qname, fq.seq, params),
+                            )
+                        sks.append(sk)
+                    pending.append((ref, sks))
+                    pend_q += len(sks)
+                    seg_ref_bytes += (
+                        ref.codes.nbytes + 2 * ref.sort_hash.nbytes
+                    )
+                gbuf.clear()
+                gbuf_q = 0
 
             def drain_pending():
                 nonlocal pend_q
+                flush_gbuf()
                 if pending:
                     seg.extend(make_pairs_multi(pending, params))
                     pending.clear()
@@ -2541,21 +2572,10 @@ def align_batches_pooled(
             ):
                 if stop.is_set():
                     return
-                ref = opm.build_ref_index(
-                    rname, contigs, params.k, params.w, hpc=params.hpc
-                )
-                sks = []
-                for qi in rname_to_q[rname]:
-                    sk = sketch_cache.get(qi)
-                    if sk is None:
-                        fq = queries[qi]
-                        sk = sketch_cache.setdefault(
-                            qi, QuerySketch.make(fq.qname, fq.seq, params)
-                        )
-                    sks.append(sk)
-                pending.append((ref, sks))
-                pend_q += len(sks)
-                seg_ref_bytes += ref.codes.nbytes + 2 * ref.sort_hash.nbytes
+                gbuf.append((rname, contigs))
+                gbuf_q += len(rname_to_q[rname])
+                if len(gbuf) >= 64 or gbuf_q >= 512:
+                    flush_gbuf()
                 if (
                     pend_q >= 512
                     or pend_q + len(seg) >= pair_chunk

@@ -283,6 +283,58 @@ def build_ref_index(
     )
 
 
+def build_ref_index_batch(
+    genomes: "list[tuple[str, list[tuple[str, np.ndarray]]]]",
+    k: int = KMER_SR,
+    w: int = WINDOW_SR,
+    hpc: bool = False,
+) -> "list[RefIndex]":
+    """build_ref_index for MANY genomes with ONE threaded native sketching
+    call over every contig (minimizers_batch): per-genome sketch-call
+    overhead dominates ref indexing when a run streams thousands of small
+    candidate genomes. Field-identical to per-genome build_ref_index."""
+    all_codes: list[np.ndarray] = []
+    for _, contigs in genomes:
+        for _, codes in contigs:
+            all_codes.append(codes)
+    sketches = iter(minimizers_batch(all_codes, k, w, hpc=hpc))
+    out: list[RefIndex] = []
+    for name, contigs in genomes:
+        starts, lens, parts = [], [], []
+        hs, ps, ss = [], [], []
+        cur = 0
+        for _, codes in contigs:
+            starts.append(cur)
+            lens.append(len(codes))
+            parts.append(codes)
+            h, p, s = next(sketches)
+            hs.append(h)
+            ps.append(p + np.int32(cur))
+            ss.append(s)
+            cur += len(codes) + CONTIG_GUARD
+            parts.append(np.zeros(CONTIG_GUARD, dtype=np.uint8))
+        allcodes = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        h = np.concatenate(hs) if hs else np.empty(0, _U64)
+        p = np.concatenate(ps) if ps else np.empty(0, np.int32)
+        s = np.concatenate(ss) if ss else np.empty(0, np.uint8)
+        order = np.argsort(h, kind="stable")
+        out.append(
+            RefIndex(
+                name=name,
+                contig_names=[c for c, _ in contigs],
+                contig_starts=np.asarray(starts, np.int64),
+                contig_lens=np.asarray(lens, np.int64),
+                codes=allcodes,
+                sort_hash=h[order],
+                sort_pos=p[order],
+                sort_strand=s[order],
+                k=k,
+                w=w,
+            )
+        )
+    return out
+
+
 @dataclass(slots=True)
 class Anchors:
     """Seed anchors of one (query, genome) pair, one strand set."""

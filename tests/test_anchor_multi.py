@@ -98,3 +98,26 @@ def test_empty_groups():
     # a group with zero queries contributes nothing but must not break
     out = ae.make_pairs_multi([(ref, [])], params)
     assert out == []
+
+
+def test_build_ref_index_batch_field_identical():
+    rng = np.random.default_rng(23)
+    genomes = []
+    for g in range(9):
+        contigs = []
+        for c in range(int(rng.integers(1, 4))):
+            glen = int(rng.integers(200, 2500))
+            contigs.append(
+                (f"g{g}c{c}", rng.integers(0, 4, glen).astype(np.uint8))
+            )
+        genomes.append((f"g{g}", contigs))
+    batch = opm.build_ref_index_batch(genomes, 21, 11)
+    for (name, contigs), rb in zip(genomes, batch):
+        ra = opm.build_ref_index(name, contigs, 21, 11)
+        assert ra.contig_names == rb.contig_names
+        np.testing.assert_array_equal(ra.contig_starts, rb.contig_starts)
+        np.testing.assert_array_equal(ra.contig_lens, rb.contig_lens)
+        np.testing.assert_array_equal(ra.codes, rb.codes)
+        np.testing.assert_array_equal(ra.sort_hash, rb.sort_hash)
+        np.testing.assert_array_equal(ra.sort_pos, rb.sort_pos)
+        np.testing.assert_array_equal(ra.sort_strand, rb.sort_strand)
