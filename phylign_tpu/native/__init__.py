@@ -520,6 +520,35 @@ def native_parse_match_text(data: bytes) -> "ParsedMatchFile | None":
     return ParsedMatchFile(qnames, q_tot, q_end, acc_id, score, accs)
 
 
+def _anchors_finish(
+    lib, sort_pos, sort_strand, qpos, qstrand, qoff, qlen64, nq, k,
+    m_lo, m_np, m_nm, gcount, total,
+):
+    """Shared tail of the anchor-collection wrappers: prefix the group
+    counts into bounds, allocate the flat outputs, and run anchors_fill
+    (whose contract is identical for the per-ref and segmented fronts —
+    m_lo always carries offsets into the given sort arrays)."""
+    bounds = np.zeros(2 * nq + 1, np.int64)
+    np.cumsum(gcount, out=bounds[1:])
+    out_rpos = np.empty(total, np.int32)
+    out_qpos = np.empty(total, np.int32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    if total:
+        lib.anchors_fill(
+            p(sort_pos, ctypes.c_int32), _u8ptr(sort_strand),
+            p(qpos, ctypes.c_int64), _u8ptr(qstrand),
+            p(qoff, ctypes.c_int64), p(qlen64, ctypes.c_int64), nq,
+            int(k),
+            p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
+            p(m_nm, ctypes.c_int32), p(bounds, ctypes.c_int64),
+            p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
+        )
+    return out_rpos, out_qpos, bounds
+
+
 def native_collect_anchors(
     uh: np.ndarray,
     us: np.ndarray,
@@ -577,20 +606,10 @@ def native_collect_anchors(
         p(m_nm, ctypes.c_int32), p(gcount, ctypes.c_int64),
         p(rep_len, ctypes.c_int64),
     )
-    bounds = np.zeros(2 * nq + 1, np.int64)
-    np.cumsum(gcount, out=bounds[1:])
-    out_rpos = np.empty(total, np.int32)
-    out_qpos = np.empty(total, np.int32)
-    if total:
-        lib.anchors_fill(
-            p(sort_pos, ctypes.c_int32), _u8ptr(sort_strand),
-            p(qpos, ctypes.c_int64), _u8ptr(qstrand),
-            p(qoff, ctypes.c_int64), p(qlen64, ctypes.c_int64), nq,
-            int(k),
-            p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
-            p(m_nm, ctypes.c_int32), p(bounds, ctypes.c_int64),
-            p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
-        )
+    out_rpos, out_qpos, bounds = _anchors_finish(
+        lib, sort_pos, sort_strand, qpos, qstrand, qoff, qlen64, nq, k,
+        m_lo, m_np, m_nm, gcount, total,
+    )
     return out_rpos, out_qpos, bounds, rep_len
 
 
@@ -656,20 +675,10 @@ def native_collect_anchors_seg(
         p(m_nm, ctypes.c_int32), p(gcount, ctypes.c_int64),
         p(rep_len, ctypes.c_int64),
     )
-    bounds = np.zeros(2 * nq + 1, np.int64)
-    np.cumsum(gcount, out=bounds[1:])
-    out_rpos = np.empty(total, np.int32)
-    out_qpos = np.empty(total, np.int32)
-    if total:
-        lib.anchors_fill(
-            p(sort_pos, ctypes.c_int32), _u8ptr(sort_strand),
-            p(qpos, ctypes.c_int64), _u8ptr(qstrand),
-            p(qoff, ctypes.c_int64), p(qlen64, ctypes.c_int64), nq,
-            int(k),
-            p(m_lo, ctypes.c_int64), p(m_np, ctypes.c_int32),
-            p(m_nm, ctypes.c_int32), p(bounds, ctypes.c_int64),
-            p(out_rpos, ctypes.c_int32), p(out_qpos, ctypes.c_int32),
-        )
+    out_rpos, out_qpos, bounds = _anchors_finish(
+        lib, sort_pos, sort_strand, qpos, qstrand, qoff, qlen64, nq, k,
+        m_lo, m_np, m_nm, gcount, total,
+    )
     return out_rpos, out_qpos, bounds, rep_len
 
 

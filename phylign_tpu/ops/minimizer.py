@@ -361,6 +361,22 @@ def _rep_lens(
     return np.bincount(q, weights=contrib, minlength=nq).astype(np.int64)
 
 
+def _slice_anchor_groups(
+    rp_s: np.ndarray, qp_s: np.ndarray, bounds: np.ndarray, nq: int
+) -> list[tuple[Anchors, Anchors]]:
+    """Per-query (plus, minus) Anchors as VIEWS into the shared sorted
+    arrays (group g = 2q+strand occupies bounds[g]:bounds[g+1])."""
+    out: list[tuple[Anchors, Anchors]] = []
+    bl = bounds.tolist()
+    for q in range(nq):
+        sl_p = slice(bl[2 * q], bl[2 * q + 1])
+        sl_m = slice(bl[2 * q + 1], bl[2 * q + 2])
+        out.append(
+            (Anchors(rp_s[sl_p], qp_s[sl_p]), Anchors(rp_s[sl_m], qp_s[sl_m]))
+        )
+    return out
+
+
 def collect_anchors_batch(
     ref: RefIndex,
     q_hashes: list[np.ndarray],
@@ -397,18 +413,7 @@ def collect_anchors_batch(
     )
     if nat is not None:
         rp_s, qp_s, bounds, rep = nat
-        out = []
-        bl = bounds.tolist()
-        for q in range(nq):
-            sl_p = slice(bl[2 * q], bl[2 * q + 1])
-            sl_m = slice(bl[2 * q + 1], bl[2 * q + 2])
-            out.append(
-                (
-                    Anchors(rp_s[sl_p], qp_s[sl_p]),
-                    Anchors(rp_s[sl_m], qp_s[sl_m]),
-                )
-            )
-        return out, rep
+        return _slice_anchor_groups(rp_s, qp_s, bounds, nq), rep
     pos = np.minimum(np.searchsorted(uh, h), len(uh) - 1)
     found = uh[pos] == h
     lo = us[pos]
@@ -549,15 +554,7 @@ def collect_anchors_multi(
     )
     assert nat is not None  # guarded by the hasattr check above
     rp_s, qp_s, bounds, rep = nat
-    out = []
-    bl = bounds.tolist()
-    for q in range(nq):
-        sl_p = slice(bl[2 * q], bl[2 * q + 1])
-        sl_m = slice(bl[2 * q + 1], bl[2 * q + 2])
-        out.append(
-            (Anchors(rp_s[sl_p], qp_s[sl_p]), Anchors(rp_s[sl_m], qp_s[sl_m]))
-        )
-    return out, rep
+    return _slice_anchor_groups(rp_s, qp_s, bounds, nq), rep
 
 
 def collect_anchors(

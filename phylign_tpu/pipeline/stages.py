@@ -469,6 +469,16 @@ class Pipeline:
             if t.is_dir():
                 shutil.rmtree(t)
 
+    #: HBM held back from transient match-index budgeting for the align
+    #: stage's flush buffers (two 640 MB slots + margin)
+    ALIGN_RESERVE_MB = 1536
+
+    def _chunk_budget_mb(self) -> int:
+        """Per-call HBM budget for row-chunked (oversized-index) scoring —
+        THE shared definition; the pipelined guard must estimate with the
+        same number _score_batch_begin routes/acquires with."""
+        return max(256, self._hbm_transient_mb - self.ALIGN_RESERVE_MB)
+
     def _score_batch_begin(self, didx: cobs_io.DeviceIndex, qs: QuerySet) -> dict:
         """DISPATCH one batch's scoring; pair with _score_batch_end.
 
@@ -496,8 +506,7 @@ class Pipeline:
         # the 661k DB's 1-hash indexes; ref: the 10.59 GB pseudomonas batch
         # in /root/reference/data/decompressed_indexes_sizes.txt vs the 12 GB
         # minimum RAM the reference documents, README.md:94-95)
-        align_reserve_mb = 1536  # two 640 MB flush slots + margin
-        chunk_budget = max(256, self._hbm_transient_mb - align_reserve_mb)
+        chunk_budget = self._chunk_budget_mb()
         if mesh is None and didx.num_hashes == 1 and hbm_mb > chunk_budget:
             return {"sync": self._score_batch_chunked(didx, qs, chunk_budget)}
         key = matcher = None
@@ -864,8 +873,8 @@ class Pipeline:
                     outs[b] = self._commit_match_output(
                         b, stem, it["qs"], hits_u, nk_u, it["doc_names"]
                     )
-                    cm = it.pop("bench", None)
-                    it["bench"] = None
+                    cm = it.get("bench")
+                    it["bench"] = None  # abort_item must not exit it twice
                     if cm is not None:
                         cm.__exit__(None, None, None)
                     if drop_cache:
@@ -910,10 +919,16 @@ class Pipeline:
                                 device_index_bytes(didx, mesh=None)
                                 // 1_000_000,
                             )
-                            chunk_budget = max(
-                                256, self._hbm_transient_mb - 1536
-                            )
-                            need = min(need, chunk_budget)
+                            if (
+                                didx.num_hashes == 1
+                                and need > self._chunk_budget_mb()
+                            ):
+                                # this index will stream row-chunked with
+                                # a chunk_budget reservation; multi-hash
+                                # indexes have NO chunked fallback and
+                                # acquire their full size — never clamp
+                                # their estimate
+                                need = self._chunk_budget_mb()
                             if self.sched.hbm.available() < need:
                                 flush_group()
                         bench_cm = benchmark(
