@@ -2574,10 +2574,14 @@ def align_batches_pooled(
                     return
                 gbuf.append((rname, contigs))
                 gbuf_q += len(rname_to_q[rname])
-                if len(gbuf) >= 64 or gbuf_q >= 512:
+                # small batches: enough to amortize the native call, small
+                # enough that pair segments keep flowing to the device
+                # consumer (64-genome bursts measurably starved the flush
+                # pipeline at e2e scale)
+                if len(gbuf) >= 16 or gbuf_q >= 256:
                     flush_gbuf()
                 if (
-                    pend_q >= 512
+                    pend_q >= 256
                     or pend_q + len(seg) >= pair_chunk
                     or seg_ref_bytes >= ref_budget
                 ):
